@@ -1,0 +1,170 @@
+"""Unified experiment configuration.
+
+One dataclass covers the union of all 12 reference variants' argparse flag
+sets (reference: <variant>/parameters.py, e.g.
+inbatch_sasrec_e2e_text/parameters.py:4-50,
+bce_text/main-end2end(DSSM)/parameters.py, bce_vision/*/parameters.py),
+plus the new TPU-native knobs (mesh shape, dtype policy, negative gathering).
+
+The reference encodes the variant choice in the directory tree; here it is
+four config axes: loss / user_tower / item_tower / stage (+ modality).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import List, Optional, Sequence
+
+
+def str2bool(v) -> bool:
+    # CLI-compatible with reference data_utils/utils.py:10-18.
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+@dataclasses.dataclass
+class Config:
+    # ---- variant axes (replaces the reference's 12 variant directories) ----
+    mode: str = "train"            # 'train' | 'test'
+    loss: str = "inbatch_ce"       # 'inbatch_ce' | 'bce'
+    user_tower: str = "sasrec"     # 'sasrec' | 'dssm'
+    item_tower: str = "id"         # 'id' | 'modal' | 'modal_id_add' | 'modal_id_cat'
+    stage: str = "end2end"         # 'end2end' | 'two_stage'
+    modality: str = "text"         # 'text' | 'vision'
+
+    # ---- data ----
+    root_data_dir: str = "../"
+    dataset: str = "MIND-small"
+    behaviors: str = "behaviors_l5_tr_v.tsv"
+    news: str = "news_l5_tr_v.tsv"          # text item TSV (vision: image manifest TSV)
+    image_store: str = "hm_images.mkv"      # vision record store (reference: LMDB dir)
+    max_seq_len: int = 20
+    min_seq_len: int = 5
+    num_words_title: int = 30
+    num_words_abstract: int = 50
+    num_words_body: int = 50
+    news_attributes: Sequence[str] = ("title",)
+    image_resize: int = 224
+
+    # ---- train ----
+    batch_size: int = 64            # per-chip batch (reference: per-GPU)
+    epoch: int = 1
+    lr: float = 1e-4
+    fine_tune_lr: float = 5e-5
+    l2_weight: float = 0.0
+    fine_tune_l2_weight: float = 0.0
+    drop_rate: float = 0.1
+    neg_num: int = 1                # DSSM negatives per positive
+    accumulation_step: int = 1      # gradient accumulation (reference declared, unused)
+    seed: int = 12345
+
+    # ---- model ----
+    bert_model_load: str = "bert-base-uncased"
+    cv_model_load: str = "swin-tiny"
+    freeze_paras_before: int = 0
+    word_embedding_dim: int = 768   # modality-encoder hidden size (auto-set per encoder)
+    embedding_dim: int = 256
+    num_attention_heads: int = 2
+    transformer_block: int = 2
+    dnn_layers: int = 0             # DSSM MLP depth / two-stage MLP depth
+    pretrained_models_dir: str = "pretrained_models"
+
+    # ---- eval / logging / ckpt ----
+    load_ckpt_name: str = "None"
+    label_screen: str = "None"
+    logging_num: int = 8
+    testing_num: int = 1
+    num_workers: int = 0
+    eval_batch_size: int = 512
+    early_stop_gap: int = 10
+    item_emb_batch_size: int = 512
+
+    # ---- TPU-native knobs (no reference equivalent) ----
+    data_axis: int = 0                  # 0 = all devices on the data axis
+    gather_negatives: bool = False      # all-gather in-batch negatives across DP
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    use_pallas: bool = True             # fused kernels on TPU where profitable
+    remat_encoder: bool = False         # jax.checkpoint on the item encoder
+    profile_dir: str = ""               # jax.profiler trace dir ('' = off)
+
+    def __post_init__(self):
+        if isinstance(self.news_attributes, str):
+            self.news_attributes = tuple(self.news_attributes.split(","))
+        else:
+            self.news_attributes = tuple(self.news_attributes)
+        # Reference encodes modality use in the item_tower string
+        # (run.py:325-332: "'modal' in args.item_tower").
+        assert self.loss in ("inbatch_ce", "bce")
+        assert self.user_tower in ("sasrec", "dssm")
+        assert self.item_tower in ("id", "modal", "modal_id_add", "modal_id_cat")
+        assert self.stage in ("end2end", "two_stage")
+        assert self.modality in ("text", "vision")
+
+    # -- derived properties ------------------------------------------------
+    @property
+    def use_modal(self) -> bool:
+        return "modal" in self.item_tower
+
+    @property
+    def use_fusion(self) -> bool:
+        return self.item_tower in ("modal_id_add", "modal_id_cat")
+
+    @property
+    def seq_len_total(self) -> int:
+        # reference pads user sequences to max_seq_len + 1 items
+        return self.max_seq_len + 1
+
+    def dir_label(self) -> str:
+        # reference run.py:325-332
+        if self.use_modal:
+            model_load = (self.bert_model_load if self.modality == "text"
+                          else self.cv_model_load)
+            return f"{self.item_tower}_{model_load}_freeze_{self.freeze_paras_before}"
+        return str(self.item_tower)
+
+    def log_paras(self, world_size: int = 1) -> str:
+        # reference run.py:334-337
+        model_load = ("id" if not self.use_modal else
+                      (self.bert_model_load if self.modality == "text"
+                       else self.cv_model_load))
+        bs = self.batch_size * world_size
+        return (f"{model_load}_ed_{self.embedding_dim}"
+                f"_bs_{bs}_lr_{self.lr}_Flr_{self.fine_tune_lr}"
+                f"_L2_{self.l2_weight}_FL2_{self.fine_tune_l2_weight}")
+
+    def model_dir(self, world_size: int = 1) -> str:
+        import os
+        return os.path.join("./checkpoint_" + self.dir_label(),
+                            "cpt_" + self.log_paras(world_size))
+
+
+def _add_flags(parser: argparse.ArgumentParser) -> None:
+    """The union of all 12 reference parameters.py flag sets, same names."""
+    fields = {f.name: f for f in dataclasses.fields(Config)}
+    for name, f in fields.items():
+        if name == "news_attributes":
+            parser.add_argument("--news_attributes", type=str, default="title")
+            continue
+        t = f.type if isinstance(f.type, type) else type(f.default)
+        if t is bool:
+            parser.add_argument(f"--{name}", type=str2bool, default=f.default)
+        elif t in (int, float, str):
+            parser.add_argument(f"--{name}", type=t, default=f.default)
+    # accepted for reference-CLI compatibility; ignored (JAX has no local_rank)
+    parser.add_argument("--local_rank", type=int, default=-1)
+
+
+def parse_args(argv: Optional[List[str]] = None) -> Config:
+    parser = argparse.ArgumentParser()
+    _add_flags(parser)
+    ns = parser.parse_args(argv)
+    d = vars(ns)
+    d.pop("local_rank", None)
+    return Config(**d)

@@ -1,0 +1,78 @@
+"""Shared building blocks (Flax linen).
+
+Initialization parity: the reference xavier-normal-inits every Linear /
+Embedding weight and zeros biases (e.g. User_Encoder._init_weights,
+inbatch_sasrec_e2e_text/model/encoders.py:15-21). torch's xavier_normal_ on a
+(out, in) weight equals variance_scaling(1, 'fan_avg', 'normal') on the
+transposed (in, out) kernel — symmetric in fan_in/fan_out, so the stds match.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+xavier_normal = nn.initializers.xavier_normal()
+zeros_init = nn.initializers.zeros
+
+
+class MLPLayers(nn.Module):
+    """[Dropout -> Dense -> GELU] x len(layers)-1.
+
+    Reference bce_text/main-end2end(DSSM)/model/encoders.py:6-18 (MLP_Layers)
+    and the CAT fusion MLP (bce_text/id_plus_mo-end2end/model/encoders.py:17-39).
+    """
+    layers: Sequence[int]
+    drop_rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for out_dim in self.layers[1:]:
+            x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+            x = nn.Dense(out_dim, kernel_init=xavier_normal, bias_init=zeros_init)(x)
+            x = nn.gelu(x, approximate=False)
+        return x
+
+
+class FCLayers(nn.Module):
+    """word_dim -> item_dim projection + GELU, then an MLP stack.
+
+    Reference two-stage MLP_Layers with leading fc
+    (bce_text/main-2stage(SASRec)/model/encoders.py:7-31).
+    """
+    word_embedding_dim: int
+    item_embedding_dim: int
+    dnn_layers: int
+    drop_rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.item_embedding_dim, kernel_init=xavier_normal,
+                     bias_init=zeros_init, name="fc")(x)
+        x = nn.gelu(x, approximate=False)
+        if self.dnn_layers > 0:
+            x = MLPLayers([self.item_embedding_dim] * (self.dnn_layers + 1),
+                          self.drop_rate, name="mlp")(x, deterministic)
+        return x
+
+
+class AddFusion(nn.Module):
+    """ID (+) modality fusion (reference bce_text/id_plus_mo-end2end/model/encoders.py:8-13)."""
+
+    @nn.compact
+    def __call__(self, x, y, deterministic: bool = True):
+        return x + y
+
+
+class CatFusion(nn.Module):
+    """concat -> GELU MLP fusion (reference id_plus_mo-end2end/model/encoders.py:17-39)."""
+    embedding_dim: int
+    drop_rate: float
+
+    @nn.compact
+    def __call__(self, x, y, deterministic: bool = True):
+        cat = jnp.concatenate([x, y], axis=-1)
+        return MLPLayers([2 * self.embedding_dim, self.embedding_dim],
+                         self.drop_rate, name="mlp")(cat, deterministic)

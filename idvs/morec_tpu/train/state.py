@@ -1,0 +1,79 @@
+"""Train state + optimizer assembly.
+
+Reference semantics reproduced (inbatch_sasrec_e2e_text/run.py:150-191):
+- two AdamW parameter groups: modality-encoder params at
+  (fine_tune_lr, fine_tune_l2_weight), everything else at (lr, l2_weight)
+- frozen params (HF encoder index < freeze_paras_before, plus pooler) get NO
+  updates — torch uses requires_grad=False + DDP find_unused_parameters; here
+  it's an optax.multi_transform partition with set_to_zero, which also stops
+  AdamW weight-decay on frozen leaves (torch never decays grad-less params)
+- plain single-group AdamW for IDRec (run.py:191)
+- torch AdamW defaults: b1=0.9 b2=0.999 eps=1e-8, decoupled weight decay
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+ENCODER_LABEL = "encoder"
+RECSYS_LABEL = "recsys"
+FROZEN_LABEL = "frozen"
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    dropout_rng: jax.Array
+
+
+def param_labels(params,
+                 is_encoder_path: Callable[[tuple], bool],
+                 frozen_paths: Optional[set] = None) -> Any:
+    """Label every leaf encoder/recsys/frozen by its key path.
+
+    is_encoder_path: predicate on the tuple of str keys from the root.
+    frozen_paths: set of path-tuples to freeze (encoder freeze mask).
+    """
+    frozen_paths = frozen_paths or set()
+
+    def label(path, _leaf):
+        keys = tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
+        if keys in frozen_paths:
+            return FROZEN_LABEL
+        return ENCODER_LABEL if is_encoder_path(keys) else RECSYS_LABEL
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def default_encoder_predicate(keys: tuple) -> bool:
+    """The reference splits on 'bert_model' in the param name (run.py:153-158):
+    ONLY the pretrained LM/CV net itself is in the fine-tune group; the
+    projection fc over it counts as recsys. Our modal encoders nest the
+    pretrained net under a submodule named 'net'."""
+    return "modal_encoder" in keys and "net" in keys
+
+
+def make_optimizer(cfg, labels=None) -> optax.GradientTransformation:
+    adamw = lambda lr, wd: optax.adamw(
+        learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd)
+    if labels is None:
+        # IDRec: one group (run.py:191)
+        return adamw(cfg.lr, cfg.l2_weight)
+    return optax.multi_transform(
+        {
+            ENCODER_LABEL: adamw(cfg.fine_tune_lr, cfg.fine_tune_l2_weight),
+            RECSYS_LABEL: adamw(cfg.lr, cfg.l2_weight),
+            FROZEN_LABEL: optax.set_to_zero(),
+        },
+        labels)
+
+
+def count_params(params) -> Dict[str, int]:
+    total = sum(x.size for x in jax.tree.leaves(params))
+    return {"total": int(total)}

@@ -95,7 +95,6 @@ class RecModel(nn.Module):
                         self.drop_rate, name="modal_mlp")
             else:
                 assert self.encoder is not None, "end2end modal tower needs an encoder"
-                self.modal_encoder = self.encoder
 
         # ---- fusion ----
         if self.item_tower == "modal_id_cat":
@@ -120,7 +119,7 @@ class RecModel(nn.Module):
             if self.dnn_layers > 0:
                 modal = self.modal_mlp(modal, deterministic)
         else:
-            modal = self.modal_encoder(content, deterministic=deterministic)
+            modal = self.encoder(content, deterministic=deterministic)
 
         if self.item_tower == "modal_id_add":
             return self.id_embedding(item_ids) + modal

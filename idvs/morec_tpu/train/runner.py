@@ -187,7 +187,7 @@ class Trainer:
         if self.encoder_bundle and self.encoder_bundle[1] is not None:
             # graft converted pretrained weights into the modal encoder
             params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
-            params["params"]["modal_encoder"]["net"] = self.encoder_bundle[1]
+            params["params"]["encoder"]["net"] = self.encoder_bundle[1]
         self.n_total = sum(int(x.size) for x in jax.tree.leaves(params))
 
         labels = None

@@ -54,9 +54,9 @@ def param_labels(params,
 def default_encoder_predicate(keys: tuple) -> bool:
     """The reference splits on 'bert_model' in the param name (run.py:153-158):
     ONLY the pretrained LM/CV net itself is in the fine-tune group; the
-    projection fc over it counts as recsys. Our modal encoders nest the
-    pretrained net under a submodule named 'net'."""
-    return "modal_encoder" in keys and "net" in keys
+    projection fc over it counts as recsys. Our modal towers nest the
+    pretrained net under <'encoder', ..., 'net'>."""
+    return "encoder" in keys and "net" in keys
 
 
 def make_optimizer(cfg, labels=None) -> optax.GradientTransformation:

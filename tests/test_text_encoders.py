@@ -1,0 +1,148 @@
+"""Weight-conversion fidelity: our Flax BERT/RoBERTa/OPT vs torch
+transformers with IDENTICAL (random) weights must produce the same hidden
+states — this is the guarantee that real pretrained checkpoints load
+correctly (reference loads HF weights, run.py:29-72)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+
+def _rand_inputs(rng, B=3, T=12, vocab=500, pad=0):
+    ids = rng.integers(5, vocab, size=(B, T)).astype(np.int64)
+    attmask = np.ones((B, T), dtype=np.int64)
+    attmask[0, -4:] = 0
+    ids[0, -4:] = pad
+    return ids, attmask
+
+
+def test_bert_matches_hf():
+    from transformers import BertConfig as HFBertConfig, BertModel as HFBertModel
+    from idvs.morec_tpu.models.bert import BertConfig, BertModel
+    from idvs.morec_tpu.models.convert_text import (
+        bert_torch_param_order, convert_bert_state_dict)
+
+    hf_cfg = HFBertConfig(vocab_size=500, hidden_size=32, num_hidden_layers=3,
+                          num_attention_heads=4, intermediate_size=64,
+                          max_position_embeddings=64, type_vocab_size=2,
+                          hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = HFBertModel(hf_cfg).eval()
+
+    # torch param order assumption must hold exactly
+    names = [n for n, _ in hf.named_parameters()]
+    want = [n for n, _ in bert_torch_param_order(3)]
+    assert names == want
+
+    rng = np.random.default_rng(0)
+    ids, attmask = _rand_inputs(rng)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(attmask))[0].numpy()
+
+    cfg = BertConfig.from_hf(hf_cfg)
+    model = BertModel(cfg)
+    params = convert_bert_state_dict(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()}, 3)
+    got = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(attmask), True)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4)
+
+
+def test_roberta_matches_hf():
+    from transformers import RobertaConfig as HFC, RobertaModel as HFM
+    from idvs.morec_tpu.models.bert import BertConfig, BertModel
+    from idvs.morec_tpu.models.convert_text import convert_bert_state_dict
+
+    hf_cfg = HFC(vocab_size=500, hidden_size=32, num_hidden_layers=2,
+                 num_attention_heads=4, intermediate_size=64,
+                 max_position_embeddings=66, type_vocab_size=1,
+                 pad_token_id=1, hidden_dropout_prob=0.0,
+                 attention_probs_dropout_prob=0.0)
+    torch.manual_seed(1)
+    hf = HFM(hf_cfg).eval()
+    rng = np.random.default_rng(1)
+    ids, attmask = _rand_inputs(rng, pad=1)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(attmask))[0].numpy()
+    cfg = BertConfig.from_hf(hf_cfg)
+    assert cfg.is_roberta and cfg.position_offset == 2
+    model = BertModel(cfg)
+    params = convert_bert_state_dict(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()}, 2)
+    got = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(attmask), True)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4)
+
+
+def test_opt_matches_hf():
+    from transformers import OPTConfig as HFC, OPTModel as HFM
+    from idvs.morec_tpu.models.opt import (OPTConfig, OPTModel,
+                                           convert_opt_state_dict,
+                                           opt_torch_param_order)
+
+    hf_cfg = HFC(vocab_size=500, hidden_size=32, num_hidden_layers=2,
+                 num_attention_heads=4, ffn_dim=64,
+                 max_position_embeddings=64, dropout=0.0,
+                 attention_dropout=0.0, pad_token_id=1,
+                 do_layer_norm_before=True, word_embed_proj_dim=32)
+    torch.manual_seed(2)
+    hf = HFM(hf_cfg).eval()
+    names = [n for n, _ in hf.named_parameters()]
+    want = [n for n, _ in opt_torch_param_order(2)]
+    assert names == want
+
+    rng = np.random.default_rng(2)
+    ids, attmask = _rand_inputs(rng, pad=1)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(attmask))[0].numpy()
+    cfg = OPTConfig.from_hf(hf_cfg)
+    model = OPTModel(cfg)
+    params = convert_opt_state_dict(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()}, 2)
+    got = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(attmask), True)
+    # pad positions get a different (masked-out-anyway) position id than HF;
+    # the reference pools OPT by masked MEAN (Text_Encoder_mean), so only
+    # valid positions matter
+    m = attmask[:, :, None].astype(bool)
+    np.testing.assert_allclose(np.asarray(got) * m, ref * m, atol=2e-4)
+
+
+def test_text_tower_cls_pooling_and_projection():
+    from idvs.morec_tpu.models.bert import BertConfig, BertModel
+    from idvs.morec_tpu.models.text_tower import TextTower
+
+    cfg = BertConfig(vocab_size=100, hidden_size=16, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=32,
+                     max_position_embeddings=32, hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    tower = TextTower(net=BertModel(cfg), embedding_dim=8,
+                      word_embedding_dim=16, pooling="cls", attr_lengths=(6,))
+    content = np.concatenate([
+        np.random.default_rng(0).integers(1, 100, (4, 6)),
+        np.ones((4, 6), np.int64)], axis=1)
+    params = tower.init(jax.random.PRNGKey(0), jnp.asarray(content), True)
+    out = tower.apply(params, jnp.asarray(content), True)
+    assert out.shape == (4, 8)
+    # 'net' submodule must exist for the freeze/two-group machinery
+    assert "net" in params["params"]
+    assert "fc" in params["params"]
+
+
+def test_freeze_paths_match_reference_pooler_table():
+    """bert-base order: 5 + 12*16 = 197 params then pooler -> indices
+    (197,198), matching the reference's hard-coded table (run.py:67-69)."""
+    from idvs.morec_tpu.models.convert_text import (bert_torch_param_order,
+                                                    bert_frozen_paths)
+    order = bert_torch_param_order(12)
+    assert order[197][0] == "pooler.dense.weight"
+    assert order[198][0] == "pooler.dense.bias"
+    # freeze_paras_before=165 -> embeddings + exactly the first 10 layers
+    frozen = bert_frozen_paths(12, 165)
+    assert ("layer_9", "output_ln", "bias") in frozen
+    assert not any(p[0] == "layer_10" for p in frozen)
+    assert ("word_embeddings", "embedding") in frozen

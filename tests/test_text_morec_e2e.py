@@ -1,0 +1,128 @@
+"""End-to-end text MoRec: a tiny HF BERT checkpoint on disk (random weights)
+-> tokenizer -> converter -> graft -> frozen/fine-tune param groups ->
+training steps + full-catalog eval. Mirrors the reference flagship path
+(inbatch_sasrec_e2e_text/train_bert_base.py -> run.py)."""
+
+import logging
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from idvs.morec_tpu.config import Config
+from idvs.morec_tpu.parallel.mesh import make_mesh
+from idvs.morec_tpu.train.runner import Trainer
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "title", "abs",
+         "item"] + [str(i) for i in range(50)]
+
+
+@pytest.fixture(scope="module")
+def bert_dir(tmp_path_factory):
+    from transformers import BertConfig, BertModel, BertTokenizer
+    d = tmp_path_factory.mktemp("pretrained") / "bert-tiny-test"
+    d.mkdir()
+    (d / "vocab.txt").write_text("\n".join(VOCAB) + "\n")
+    cfg = BertConfig(vocab_size=len(VOCAB), hidden_size=24,
+                     num_hidden_layers=2, num_attention_heads=2,
+                     intermediate_size=48, max_position_embeddings=64,
+                     hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    model = BertModel(cfg)
+    model.save_pretrained(str(d), safe_serialization=False)
+    cfg.save_pretrained(str(d))
+    return str(d)
+
+
+def synth(tmp_path, n_users=60, n_items=30):
+    rng = np.random.default_rng(0)
+    base = tmp_path / "TINY"
+    base.mkdir(exist_ok=True)
+    (base / "news.tsv").write_text("".join(
+        f"i{k}\ttitle item {k}\tabs {k}\n" for k in range(1, n_items + 1)))
+    lines = []
+    for u in range(n_users):
+        L = int(rng.integers(5, 9))
+        items = rng.choice(np.arange(1, n_items + 1), size=L, replace=False)
+        lines.append(f"u{u}\t" + " ".join(f"i{k}" for k in items))
+    (base / "behaviors.tsv").write_text("\n".join(lines) + "\n")
+    return str(tmp_path) + "/"
+
+
+def quiet():
+    lg = logging.getLogger("q"); lg.setLevel(logging.CRITICAL); return lg
+
+
+def _leaf(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def test_text_morec_end2end(tmp_path, bert_dir):
+    root = synth(tmp_path)
+    cfg = Config(root_data_dir=root, dataset="TINY", news="news.tsv",
+                 behaviors="behaviors.tsv", item_tower="modal",
+                 modality="text", stage="end2end",
+                 bert_model_load="bert-tiny-test",
+                 pretrained_models_dir=os.path.dirname(bert_dir),
+                 freeze_paras_before=21,   # embeddings (5) + layer 0 (16)
+                 num_words_title=8, news_attributes=("title",),
+                 max_seq_len=6, min_seq_len=3, batch_size=4,
+                 embedding_dim=16, word_embedding_dim=24,
+                 transformer_block=1, num_attention_heads=2,
+                 epoch=1, lr=1e-3, fine_tune_lr=1e-4, eval_batch_size=16)
+    os.chdir(tmp_path)
+    from idvs.morec_tpu.models.encoders_zoo import load_encoder
+    bundle = load_encoder(cfg)
+    module, enc_params, frozen, word_dim = bundle
+    assert word_dim == 24
+    assert enc_params is not None, "converted weights should load"
+    assert len(frozen) == 21
+
+    mesh = make_mesh(jax.devices("cpu")[:2])
+    tr = Trainer(cfg, log_file=quiet(), log_screen=quiet(), mesh=mesh,
+                 encoder_bundle=bundle)
+    tr.load_data()
+    assert tr.item_content is not None and tr.item_content.shape[1] == 16  # 2*8
+    tr.build_model()
+
+    # grafted weights present: word embedding matches the torch checkpoint
+    sd = torch.load(os.path.join(bert_dir, "pytorch_model.bin"),
+                    map_location="cpu", weights_only=True)
+    want = sd["embeddings.word_embeddings.weight"].numpy()
+    got = np.asarray(_leaf(tr.state.params,
+                           ("params", "encoder", "net",
+                            "word_embeddings", "embedding")))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    frozen_path = ("params", "encoder", "net", "layer_0",
+                   "intermediate", "kernel")
+    tuned_path = ("params", "encoder", "net", "layer_1",
+                  "intermediate", "kernel")
+    before_frozen = np.asarray(_leaf(tr.state.params, frozen_path)).copy()
+    before_tuned = np.asarray(_leaf(tr.state.params, tuned_path)).copy()
+    before_fc = np.asarray(_leaf(tr.state.params,
+                                 ("params", "encoder", "fc", "kernel"))).copy()
+
+    losses = []
+    for raw in tr.batcher.epoch(1):
+        tr.state, loss = tr.train_step(tr.state, tr.make_batch(raw))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+
+    after_frozen = np.asarray(_leaf(tr.state.params, frozen_path))
+    after_tuned = np.asarray(_leaf(tr.state.params, tuned_path))
+    after_fc = np.asarray(_leaf(tr.state.params,
+                                ("params", "encoder", "fc", "kernel")))
+    np.testing.assert_array_equal(after_frozen, before_frozen)  # frozen
+    assert not np.allclose(after_tuned, before_tuned)           # fine-tuned
+    assert not np.allclose(after_fc, before_fc)                 # recsys group
+
+    hit, ndcg = tr.run_eval("valid")
+    assert 0.0 <= hit <= 1.0 and 0.0 <= ndcg <= 1.0

@@ -42,10 +42,13 @@ def load_tokenizer(cfg):
     return AutoTokenizer.from_pretrained(path)
 
 
-def load_encoder(cfg):
-    """Build (module, params, frozen_paths, word_dim) for cfg's modality."""
+def load_encoder(cfg, axis_name=None):
+    """Build (module, params, frozen_paths, word_dim) for cfg's modality.
+
+    axis_name: data-parallel mesh axis for cross-replica BatchNorm stats
+    (ResNet towers; the reference's SyncBatchNorm, vision run.py:128)."""
     if cfg.modality == "text":
         from .text_tower import build_text_tower
         return build_text_tower(cfg)
     from .vision_tower import build_vision_tower
-    return build_vision_tower(cfg)
+    return build_vision_tower(cfg, axis_name=axis_name)

@@ -92,11 +92,11 @@ def build_text_tower(cfg):
         params = None
         try:
             sd = load_torch_state_dict(path)
-            params = convert_opt_state_dict(sd, ocfg.num_hidden_layers)
+            params = {"params": convert_opt_state_dict(sd, ocfg.num_hidden_layers)}
         except (FileNotFoundError, OSError):
             pass
         frozen = opt_frozen_paths(ocfg.num_hidden_layers, cfg.freeze_paras_before,
-                                  prefix=("params", "encoder", "net"))
+                                  prefix=("encoder", "net"))
     else:
         bcfg = BertConfig.from_hf(hf_cfg)
         net = BertModel(bcfg)
@@ -105,12 +105,12 @@ def build_text_tower(cfg):
         params = None
         try:
             sd = load_torch_state_dict(path)
-            params = convert_bert_state_dict(sd, bcfg.num_hidden_layers)
+            params = {"params": convert_bert_state_dict(sd, bcfg.num_hidden_layers)}
         except (FileNotFoundError, OSError):
             pass
         frozen = bert_frozen_paths(bcfg.num_hidden_layers,
                                    cfg.freeze_paras_before,
-                                   prefix=("params", "encoder", "net"))
+                                   prefix=("encoder", "net"))
 
     attr_lengths = []
     for attr, n in (("title", cfg.num_words_title),

@@ -28,21 +28,42 @@ def compute_item_embeddings(model, params, item_num: int,
                             item_content: Optional[jnp.ndarray],
                             embedding_dim: int,
                             batch_size: int = 512,
-                            mesh: Optional[Mesh] = None) -> jnp.ndarray:
-    """Run the item tower over ids 0..item_num -> (item_num+1, D) table."""
+                            mesh: Optional[Mesh] = None,
+                            content_fn=None,
+                            rng_seed: int = 0) -> jnp.ndarray:
+    """Run the item tower over ids 0..item_num -> (item_num+1, D) table.
+
+    content_fn: optional host callback ids -> per-chunk content (vision
+    images from the record store); otherwise content is gathered from the
+    device-resident catalog matrix (or None for pure-ID towers).
+    """
     total = item_num + 1
     padded = ((total + batch_size - 1) // batch_size) * batch_size
+    # fixed rng: MAE towers mask patches stochastically even at eval (HF
+    # ViTMAEModel behavior, kept by the reference); seed it for determinism
+    rngs = {"masking": jax.random.PRNGKey(rng_seed)}
 
     @jax.jit
-    def chunk_embs(ids):
+    def chunk_from_catalog(ids):
         content = None if item_content is None else item_content[ids]
-        return model.apply(params, ids, content, True, method="item_embs")
+        return model.apply(params, ids, content, True, method="item_embs",
+                           rngs=rngs)
+
+    @jax.jit
+    def chunk_with_content(ids, content):
+        return model.apply(params, ids, content, True, method="item_embs",
+                           rngs=rngs)
 
     out = np.zeros((padded, embedding_dim), dtype=np.float32)
     for start in range(0, padded, batch_size):
         ids = np.arange(start, start + batch_size, dtype=np.int32)
         ids = np.minimum(ids, item_num)  # pad tail with the last id
-        out[start:start + batch_size] = np.asarray(chunk_embs(jnp.asarray(ids)))
+        if content_fn is not None:
+            content = content_fn(ids)
+            chunk = chunk_with_content(jnp.asarray(ids), jnp.asarray(content))
+        else:
+            chunk = chunk_from_catalog(jnp.asarray(ids))
+        out[start:start + batch_size] = np.asarray(chunk)
     table = jnp.asarray(out[:total])
     if mesh is not None:
         table = jax.device_put(table, NamedSharding(mesh, P()))

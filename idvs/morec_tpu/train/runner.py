@@ -78,6 +78,8 @@ class _dssm_eval_batches:
 class Trainer:
     """Drives one experiment. Data/encoder are injectable for tests."""
 
+    vision_pipe = None   # set for vision end2end (data/vision_loader.py)
+
     def __init__(self, cfg: Config, log_file=None, log_screen=None,
                  mesh=None, encoder_bundle=None):
         self.cfg = cfg
@@ -99,6 +101,19 @@ class Trainer:
         base = os.path.join(cfg.root_data_dir, cfg.dataset)
         if cfg.user_tower == "dssm":
             self._load_dssm_data(base)
+            return
+        if cfg.use_modal and cfg.modality == "vision":
+            from ..data.preprocess import read_image_manifest
+            from ..data.imagestore import open_store
+            from ..data.vision_loader import VisionBatchPipe
+            keys_dic, n2i, i2n = read_image_manifest(os.path.join(base, cfg.news))
+            bd = read_behaviors(os.path.join(base, cfg.behaviors), keys_dic,
+                                n2i, i2n, cfg.max_seq_len, cfg.min_seq_len,
+                                self.log)
+            store = open_store(os.path.join(base, cfg.image_store))
+            self.vision_pipe = VisionBatchPipe(store, bd.item_id_to_dic,
+                                               cfg.image_resize)
+            self.set_data(bd, None)
             return
         if cfg.use_modal and cfg.modality == "text" and cfg.stage == "end2end":
             from ..models.encoders_zoo import load_tokenizer
@@ -176,28 +191,42 @@ class Trainer:
         self.model = make_model(cfg, self.item_num, user_num, encoder)
 
         rng = jax.random.PRNGKey(cfg.seed)
-        init_rng, self.dropout_seed = jax.random.split(rng)
+        init_rng, mask_rng, self.dropout_seed = jax.random.split(rng, 3)
         # init with a tiny synthetic batch touching every tower
         S = cfg.seq_len_total
         ids = jnp.ones((2, S), jnp.int32)
         lm = jnp.ones((2, cfg.max_seq_len), jnp.float32)
-        content = (None if self.item_content is None
-                   else self.item_content[ids.reshape(-1)])
-        params = self.model.init(init_rng, ids, content, lm)
+        if self.vision_pipe is not None:
+            content = jnp.asarray(self.vision_pipe.images_for(
+                np.asarray(ids).reshape(-1)))
+        elif self.item_content is not None:
+            content = self.item_content[ids.reshape(-1)]
+        else:
+            content = None
+        params = self.model.init({"params": init_rng, "masking": mask_rng},
+                                 ids, content, lm)
         if self.encoder_bundle and self.encoder_bundle[1] is not None:
-            # graft converted pretrained weights into the modal encoder
-            params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
-            params["params"]["encoder"]["net"] = self.encoder_bundle[1]
+            # graft converted pretrained weights into the modal encoder; the
+            # bundle maps collection name -> net subtree (e.g. 'params',
+            # 'batch_stats' for ResNet towers)
+            for coll, sub in self.encoder_bundle[1].items():
+                tgt = params.setdefault(coll, {}).setdefault(
+                    "encoder", {}).setdefault("net", {})
+                merged = dict(params[coll]["encoder"]["net"])
+                merged.update(sub)
+                params[coll]["encoder"]["net"] = merged
         self.n_total = sum(int(x.size) for x in jax.tree.leaves(params))
 
         labels = None
         if cfg.use_modal and cfg.stage == "end2end":
+            # frozen paths are relative to the 'params' collection
             frozen = self.encoder_bundle[2] if self.encoder_bundle else set()
-            labels = param_labels(params, default_encoder_predicate, frozen)
+            labels = param_labels(params["params"], default_encoder_predicate,
+                                  frozen)
         self.tx = make_optimizer(cfg, labels)
         params = replicate(self.mesh, params)
         self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                                opt_state=self.tx.init(params),
+                                opt_state=self.tx.init(params["params"]),
                                 dropout_rng=self.dropout_seed)
         self.train_step = make_train_step(self.model, cfg, self.tx, self.mesh,
                                           item_content=self.item_content,
@@ -212,16 +241,26 @@ class Trainer:
                     "labels": jnp.asarray(labels)}
         if cfg.loss == "inbatch_ce":
             ids, lm = raw
-            return {"ids": jnp.asarray(ids), "log_mask": jnp.asarray(lm)}
+            batch = {"ids": jnp.asarray(ids), "log_mask": jnp.asarray(lm)}
+            if self.vision_pipe is not None:
+                batch["content"] = jnp.asarray(self.vision_pipe.images_for(ids))
+            return batch
         pos, neg, lm = raw
-        return {"ids": jnp.asarray(pos), "neg_ids": jnp.asarray(neg),
-                "log_mask": jnp.asarray(lm)}
+        batch = {"ids": jnp.asarray(pos), "neg_ids": jnp.asarray(neg),
+                 "log_mask": jnp.asarray(lm)}
+        if self.vision_pipe is not None:
+            batch["content"] = jnp.asarray(self.vision_pipe.images_for(pos))
+            batch["neg_content"] = jnp.asarray(self.vision_pipe.images_for(neg))
+        return batch
 
     def run_eval(self, users="valid") -> tuple:
         cfg = self.cfg
+        content_fn = (self.vision_pipe.images_for
+                      if self.vision_pipe is not None else None)
         table = compute_item_embeddings(
             self.model, self.state.params, self.item_num, self.item_content,
-            cfg.embedding_dim, cfg.item_emb_batch_size, self.mesh)
+            cfg.embedding_dim, cfg.item_emb_batch_size, self.mesh,
+            content_fn=content_fn)
         ev = self.eval_valid if users == "valid" else self.eval_test
         hit, ndcg = evaluate(self.model, self.state.params, table, ev,
                              self.mesh, cfg.user_tower)
@@ -310,7 +349,8 @@ def run(cfg: Config):
     trainer = Trainer(cfg)
     if cfg.use_modal and cfg.stage == "end2end":
         from ..models.encoders_zoo import load_encoder
-        trainer.encoder_bundle = load_encoder(cfg)
+        axis = "data" if trainer.n_shards > 1 else None
+        trainer.encoder_bundle = load_encoder(cfg, axis_name=axis)
     trainer.load_data()
     trainer.build_model()
     if "train" in cfg.mode:

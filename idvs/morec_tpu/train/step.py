@@ -9,6 +9,10 @@ Replaces the reference's DDP + AMP loop (inbatch_sasrec_e2e_text/run.py:210-256)
   DDP's mean-of-per-rank-means
 - `gather_negatives` extension: in-batch CE candidates are all-gathered
   across the data axis so the softmax width scales with chip count
+- BatchNorm (ResNet towers): running stats live in the 'batch_stats'
+  collection of TrainState.variables and update inside the step; with a
+  multi-device mesh the norm's axis_name='data' gives cross-replica batch
+  statistics — the reference's SyncBatchNorm (run.py:128)
 
 The modality catalog (tokenized text rows / cached two-stage embeddings) is
 device-resident and gathered BY ID inside the step — hosts only ship (B, S)
@@ -31,12 +35,6 @@ from .state import TrainState
 AXIS = "data"
 
 
-def _gather_content(item_content, flat_ids):
-    if item_content is None:
-        return None
-    return item_content[flat_ids]
-
-
 def make_train_step(model, cfg, tx, mesh: Mesh,
                     item_content=None,
                     log_pop=None) -> Callable[[TrainState, Dict[str, Any]], tuple]:
@@ -48,105 +46,116 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
     """
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     n_shards = mesh.devices.size
+    single_device = n_shards == 1
 
-    def local_loss(params, batch, rng):
+    def _gather_content(batch, key_ids, key_content):
+        content = batch.get(key_content)
+        if content is not None:
+            return content
+        if item_content is None:
+            return None
+        return item_content[batch[key_ids].reshape(-1)]
+
+    def _split(variables):
+        aux = {k: v for k, v in variables.items() if k != "params"}
+        return variables["params"], aux
+
+    def _item_embs(trainable, aux, flat_ids, content, rngs, mutable):
+        variables = {"params": trainable, **aux}
+        if mutable:
+            embs, mut = model.apply(variables, flat_ids, content, False,
+                                    method="item_embs", rngs=rngs,
+                                    mutable=["batch_stats"])
+            return embs, {**aux, **mut}
+        return model.apply(variables, flat_ids, content, False,
+                           method="item_embs", rngs=rngs), aux
+
+    def local_loss(trainable, aux, batch, rng, gather: bool, axis):
+        """Returns (loss, new_aux)."""
+        rngs = {"dropout": rng, "masking": jax.random.fold_in(rng, 13)}
+        mutable = "batch_stats" in aux
+
         if cfg.user_tower == "dssm":
             users, items, labels = batch["users"], batch["items"], batch["labels"]
             B, N = items.shape
-            content = batch.get("content")
-            if content is None:
-                content = _gather_content(item_content, items.reshape(-1))
-            ivec = model.apply(params, items.reshape(-1), content, False,
-                               method="item_embs", rngs={"dropout": rng})
+            content = _gather_content(batch, "items", "content")
+            ivec, aux = _item_embs(trainable, aux, items.reshape(-1), content,
+                                   rngs, mutable)
             ivec = ivec.reshape(B, N, cfg.embedding_dim)
-            uvec = model.apply(params, users, False,
-                               method="user_vec", rngs={"dropout": rng})
-            return bce_dssm_loss(uvec, ivec, labels)
+            uvec = model.apply({"params": trainable, **aux}, users, False,
+                               method="user_vec", rngs=rngs)
+            return bce_dssm_loss(uvec, ivec, labels), aux
 
         ids, lm = batch["ids"], batch["log_mask"]
         B, S = ids.shape
-        content = batch.get("content")
-        if content is None:
-            content = _gather_content(item_content, ids.reshape(-1))
         if cfg.loss == "bce":
-            neg_ids = batch["neg_ids"]
-            neg_content = batch.get("neg_content")
-            if neg_content is None:
-                neg_content = _gather_content(item_content, neg_ids.reshape(-1))
-            all_ids = jnp.concatenate([ids.reshape(-1), neg_ids.reshape(-1)])
+            content = _gather_content(batch, "ids", "content")
+            neg_content = _gather_content(batch, "neg_ids", "neg_content")
+            all_ids = jnp.concatenate([ids.reshape(-1),
+                                       batch["neg_ids"].reshape(-1)])
             all_content = (None if content is None else
                            jnp.concatenate([content, neg_content]))
-            embs = model.apply(params, all_ids, all_content, False,
-                               method="item_embs", rngs={"dropout": rng})
+            embs, aux = _item_embs(trainable, aux, all_ids, all_content,
+                                   rngs, mutable)
             pos_embs = embs[:B * S].reshape(B, S, cfg.embedding_dim)
             neg_embs = embs[B * S:].reshape(B, S, cfg.embedding_dim)
-            uv = model.apply(params, pos_embs[:, :-1], lm, False,
-                             method="user_states", rngs={"dropout": rng})
+            uv = model.apply({"params": trainable, **aux}, pos_embs[:, :-1],
+                             lm, False, method="user_states", rngs=rngs)
             # targets = next positives; negatives sit at transition slots
             # (bce_text/main-end2end/model/model.py:39-41)
-            return bce_sasrec_loss(uv, pos_embs[:, 1:], neg_embs[:, :-1], lm)
+            return bce_sasrec_loss(uv, pos_embs[:, 1:], neg_embs[:, :-1], lm), aux
 
         # in-batch debiased CE
-        embs = model.apply(params, ids.reshape(-1), content, False,
-                           method="item_embs", rngs={"dropout": rng})
+        content = _gather_content(batch, "ids", "content")
+        embs, aux = _item_embs(trainable, aux, ids.reshape(-1), content,
+                               rngs, mutable)
         embs = embs.reshape(B, S, cfg.embedding_dim)
-        uv = model.apply(params, embs[:, :-1].astype(compute_dtype), lm, False,
-                         method="user_states", rngs={"dropout": rng})
-        return inbatch_debiased_ce(
-            uv, embs, ids, lm, log_pop[ids],
-            axis_name=AXIS if cfg.gather_negatives else None,
-            gather_negatives=cfg.gather_negatives)
+        uv = model.apply({"params": trainable, **aux},
+                         embs[:, :-1].astype(compute_dtype), lm, False,
+                         method="user_states", rngs=rngs)
+        loss = inbatch_debiased_ce(uv, embs, ids, lm, log_pop[ids],
+                                   axis_name=axis, gather_negatives=gather)
+        return loss, aux
 
-    single_device = n_shards == 1
-
-    def _apply_updates(state, loss, grads):
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        return state.replace(step=state.step + 1, params=params,
+    def _update(state: TrainState, loss, grads, new_aux):
+        trainable, _ = _split(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, trainable)
+        trainable = jax.tree.map(lambda p, u: p + u, trainable, updates)
+        return state.replace(step=state.step + 1,
+                             params={"params": trainable, **new_aux},
                              opt_state=opt_state), loss
 
     if single_device:
-        # Plain jit: identical semantics to the 1-shard shard_map (pmean of
-        # one shard is identity; all_gather is identity), but avoids the
-        # shard_map dispatch overhead, which is pathological on the tunneled
-        # single-chip platform (~600ms/call vs ~3ms measured).
+        # Plain jit: identical semantics to a 1-shard shard_map (pmean and
+        # all_gather over one shard are identity), but avoids shard_map
+        # dispatch overhead, pathological on the tunneled single-chip
+        # platform (~600ms/call vs ~3ms measured).
         def single_step(state: TrainState, batch):
             rng = jax.random.fold_in(state.dropout_rng, state.step)
-
-            def loss1(params, batch, rng):
-                if cfg.loss == "inbatch_ce" and cfg.user_tower != "dssm":
-                    # gather over a 1-axis is identity: reuse the local path
-                    ids, lm = batch["ids"], batch["log_mask"]
-                    content = batch.get("content")
-                    if content is None:
-                        content = _gather_content(item_content, ids.reshape(-1))
-                    B, S = ids.shape
-                    embs = model.apply(params, ids.reshape(-1), content, False,
-                                       method="item_embs", rngs={"dropout": rng})
-                    embs = embs.reshape(B, S, cfg.embedding_dim)
-                    uv = model.apply(params, embs[:, :-1].astype(compute_dtype),
-                                     lm, False, method="user_states",
-                                     rngs={"dropout": rng})
-                    return inbatch_debiased_ce(uv, embs, ids, lm, log_pop[ids])
-                return local_loss(params, batch, rng)
-
-            loss, grads = jax.value_and_grad(loss1)(state.params, batch, rng)
-            return _apply_updates(state, loss, grads)
+            trainable, aux = _split(state.params)
+            (loss, new_aux), grads = jax.value_and_grad(
+                local_loss, has_aux=True)(trainable, aux, batch, rng,
+                                          False, None)
+            return _update(state, loss, grads, new_aux)
 
         return jax.jit(single_step, donate_argnums=(0,))
 
     def sharded_step(state: TrainState, batch):
         rng = jax.random.fold_in(state.dropout_rng, state.step)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS))
-        loss, grads = jax.value_and_grad(local_loss)(state.params, batch, rng)
+        trainable, aux = _split(state.params)
+        (loss, new_aux), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(trainable, aux, batch, rng,
+                                      cfg.gather_negatives, AXIS)
         grads = jax.lax.pmean(grads, AXIS)      # == DDP allreduce (run.py:245)
         loss = jax.lax.pmean(loss, AXIS)
-        return _apply_updates(state, loss, grads)
+        # cross-replica running stats (SyncBN parity): per-shard batch stats
+        # already pmean'd by the norm's axis_name; running averages now agree
+        return _update(state, loss, grads, new_aux)
 
-    batch_spec = P(AXIS)
     mapped = jax.shard_map(
         sharded_step, mesh=mesh,
-        in_specs=(P(), batch_spec),
+        in_specs=(P(), P(AXIS)),
         out_specs=(P(), P()),
         check_vma=False)
     return jax.jit(mapped, donate_argnums=(0,))

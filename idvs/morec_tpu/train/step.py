@@ -60,6 +60,19 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
         aux = {k: v for k, v in variables.items() if k != "params"}
         return variables["params"], aux
 
+    def _cast_compute(tree):
+        """bf16 compute policy: all f32 params are cast to bf16 for the
+        forward/backward (MXU-native); attention logits, softmaxes, and loss
+        logits stay f32 via explicit preferred_element_type in the modules.
+        Master params stay f32 in the optimizer — the reference's AMP
+        autocast (run.py:242) with bf16 instead of fp16 (no GradScaler).
+        Set --compute_dtype float32 for bit-parity runs."""
+        if compute_dtype == jnp.float32:
+            return tree
+        return jax.tree.map(
+            lambda p: p.astype(compute_dtype)
+            if p.dtype == jnp.float32 else p, tree)
+
     def _item_embs(trainable, aux, flat_ids, content, rngs, mutable):
         variables = {"params": trainable, **aux}
         if mutable:
@@ -74,6 +87,7 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
         """Returns (loss, new_aux)."""
         rngs = {"dropout": rng, "masking": jax.random.fold_in(rng, 13)}
         mutable = "batch_stats" in aux
+        trainable = _cast_compute(trainable)  # bf16 compute, f32 master
 
         if cfg.user_tower == "dssm":
             users, items, labels = batch["users"], batch["items"], batch["labels"]

@@ -96,11 +96,80 @@ class Trainer:
         self.model_dir = cfg.model_dir(self.n_shards)
 
     # ----------------------------------------------------------------- data
+    def _encode_catalog(self, bundle, content_provider, item_num: int,
+                        word_dim: int, batch: int = 256) -> np.ndarray:
+        """Two-stage cache: run the FROZEN encoder once over the catalog
+        (reference bce_text/main-2stage(SASRec)/data_utils/metrics.py:60-71,
+        run.py:78-86). content_provider(ids)->content chunk."""
+        module, enc_params, _, _ = bundle
+        probe = content_provider(np.arange(0, min(2, item_num + 1)))
+        variables = module.init(
+            {"params": jax.random.PRNGKey(self.cfg.seed),
+             "masking": jax.random.PRNGKey(1)}, jnp.asarray(probe), True)
+        if enc_params is not None:
+            # converted checkpoint collections are subtrees of the tower's
+            # 'net' submodule
+            for coll, sub in enc_params.items():
+                merged = dict(variables.get(coll, {}).get("net", {}))
+                merged.update(sub)
+                variables.setdefault(coll, {})["net"] = merged
+        enc_params = variables
+        rngs = {"masking": jax.random.PRNGKey(0)}
+
+        @jax.jit
+        def chunk(content):
+            return module.apply(enc_params, content, True, rngs=rngs)
+
+        total = item_num + 1
+        padded = ((total + batch - 1) // batch) * batch
+        out = np.zeros((padded, word_dim), np.float32)
+        for start in range(0, padded, batch):
+            ids = np.minimum(np.arange(start, start + batch), item_num)
+            out[start:start + batch] = np.asarray(
+                chunk(jnp.asarray(content_provider(ids))))
+        out = out[:total]
+        out[0] = 0.0  # padding item
+        return out
+
+    def _load_two_stage(self, base: str):
+        """Build the cached-embedding catalog, then drop the encoder."""
+        cfg = self.cfg
+        from ..models.encoders_zoo import load_encoder
+        bundle = self.encoder_bundle or load_encoder(cfg)
+        word_dim = bundle[3]
+        cfg.word_embedding_dim = word_dim
+        if cfg.modality == "text":
+            from ..models.encoders_zoo import load_tokenizer
+            tokenizer = load_tokenizer(cfg)
+            dic, n2i, i2n = read_items_tokenized(
+                os.path.join(base, cfg.news), cfg, tokenizer)
+            bd = read_behaviors(os.path.join(base, cfg.behaviors), dic, n2i,
+                                i2n, cfg.max_seq_len, cfg.min_seq_len, self.log)
+            doc = jnp.asarray(build_doc_matrix(bd.item_id_to_dic, cfg))
+            provider = lambda ids: np.asarray(doc[jnp.asarray(ids)])
+        else:
+            from ..data.preprocess import read_image_manifest
+            from ..data.imagestore import open_store
+            from ..data.vision_loader import VisionBatchPipe
+            keys_dic, n2i, i2n = read_image_manifest(os.path.join(base, cfg.news))
+            bd = read_behaviors(os.path.join(base, cfg.behaviors), keys_dic,
+                                n2i, i2n, cfg.max_seq_len, cfg.min_seq_len,
+                                self.log)
+            store = open_store(os.path.join(base, cfg.image_store))
+            pipe = VisionBatchPipe(store, bd.item_id_to_dic, cfg.image_resize)
+            provider = pipe.images_for
+        cache = self._encode_catalog(bundle, provider, bd.item_num, word_dim)
+        self.encoder_bundle = None  # encoder is frozen + discarded (2-stage)
+        self.set_data(bd, cache)
+
     def load_data(self):
         cfg = self.cfg
         base = os.path.join(cfg.root_data_dir, cfg.dataset)
         if cfg.user_tower == "dssm":
             self._load_dssm_data(base)
+            return
+        if cfg.use_modal and cfg.stage == "two_stage":
+            self._load_two_stage(base)
             return
         if cfg.use_modal and cfg.modality == "vision":
             from ..data.preprocess import read_image_manifest
@@ -224,6 +293,11 @@ class Trainer:
             labels = param_labels(params["params"], default_encoder_predicate,
                                   frozen)
         self.tx = make_optimizer(cfg, labels)
+        if cfg.accumulation_step > 1:
+            # real gradient accumulation (the reference declares the flag but
+            # never uses it, inbatch_sasrec_e2e_vision/parameters.py:29)
+            import optax
+            self.tx = optax.MultiSteps(self.tx, cfg.accumulation_step)
         params = replicate(self.mesh, params)
         self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 opt_state=self.tx.init(params["params"]),
@@ -294,7 +368,12 @@ class Trainer:
             self.log.info(f"epoch {now_epoch} start")
             loss_sum, batch_index = 0.0, 1
             for raw in self.batcher.epoch(now_epoch):
+                if cfg.profile_dir and ep == 0 and batch_index == 10:
+                    jax.profiler.start_trace(cfg.profile_dir)
                 self.state, loss = self.train_step(self.state, self.make_batch(raw))
+                if cfg.profile_dir and ep == 0 and batch_index == 20:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
                 loss = float(loss)
                 loss_sum += loss
                 if np.isnan(loss):

@@ -1,0 +1,77 @@
+"""Two-stage pipeline through the runner: frozen encoder -> catalog cache ->
+trainable FC/MLP + SASRec (reference bce_text/main-2stage(SASRec))."""
+
+import logging
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+torch = pytest.importorskip("torch")
+
+from idvs.morec_tpu.config import Config
+from idvs.morec_tpu.parallel.mesh import make_mesh
+from idvs.morec_tpu.train.runner import Trainer
+
+from tests.test_text_morec_e2e import bert_dir, synth, quiet  # fixtures
+
+
+def test_two_stage_text_runner(tmp_path, bert_dir):
+    root = synth(tmp_path)
+    cfg = Config(root_data_dir=root, dataset="TINY", news="news.tsv",
+                 behaviors="behaviors.tsv", item_tower="modal",
+                 modality="text", stage="two_stage", loss="bce",
+                 bert_model_load="bert-tiny-test",
+                 pretrained_models_dir=os.path.dirname(bert_dir),
+                 freeze_paras_before=10000, dnn_layers=2,
+                 num_words_title=8, news_attributes=("title",),
+                 max_seq_len=6, min_seq_len=3, batch_size=4,
+                 embedding_dim=16, transformer_block=1,
+                 num_attention_heads=2, epoch=1, lr=1e-3, eval_batch_size=16)
+    os.chdir(tmp_path)
+    mesh = make_mesh(jax.devices("cpu")[:2])
+    tr = Trainer(cfg, log_file=quiet(), log_screen=quiet(), mesh=mesh)
+    tr.load_data()
+    # cache built from the frozen encoder: (item_num+1, word_dim=24)
+    assert tr.item_content is not None
+    assert tr.item_content.shape == (tr.item_num + 1, 24)
+    assert cfg.word_embedding_dim == 24
+    np.testing.assert_array_equal(np.asarray(tr.item_content[0]), 0.0)
+    assert tr.encoder_bundle is None  # encoder discarded after caching
+
+    tr.build_model()
+    it = iter(tr.batcher.epoch(1))
+    for _ in range(3):
+        tr.state, loss = tr.train_step(tr.state, tr.make_batch(next(it)))
+        assert np.isfinite(float(loss))
+    hit, _ = tr.run_eval("valid")
+    assert 0.0 <= hit <= 1.0
+
+
+def test_gradient_accumulation(tmp_path, bert_dir):
+    """accumulation_step=2: params move every 2nd micro-step only."""
+    root = synth(tmp_path)
+    cfg = Config(root_data_dir=root, dataset="TINY", news="news.tsv",
+                 behaviors="behaviors.tsv", item_tower="id",
+                 max_seq_len=6, min_seq_len=3, batch_size=4,
+                 embedding_dim=16, transformer_block=1, epoch=1,
+                 lr=1e-2, accumulation_step=2)
+    os.chdir(tmp_path)
+    mesh = make_mesh(jax.devices("cpu")[:1])
+    tr = Trainer(cfg, log_file=quiet(), log_screen=quiet(), mesh=mesh)
+    tr.load_data()
+    tr.build_model()
+    it = iter(tr.batcher.epoch(1))
+
+    def emb():
+        return np.asarray(tr.state.params["params"]["id_embedding"]["embedding"]).copy()
+
+    p0 = emb()
+    tr.state, _ = tr.train_step(tr.state, tr.make_batch(next(it)))
+    p1 = emb()
+    np.testing.assert_array_equal(p0, p1)  # first micro-step: accumulate only
+    tr.state, _ = tr.train_step(tr.state, tr.make_batch(next(it)))
+    p2 = emb()
+    assert not np.allclose(p1, p2)         # second micro-step: apply

@@ -46,6 +46,8 @@ class Config:
     image_store: str = "hm_images.mkv"      # vision record store (reference: LMDB dir)
     max_seq_len: int = 20
     min_seq_len: int = 5
+    cold_behaviors: str = ""   # cold-start eval TSV ('' = off), test mode
+    new_behaviors: str = ""    # new-item eval TSV ('' = off), test mode
     num_words_title: int = 30
     num_words_abstract: int = 50
     num_words_body: int = 50

@@ -233,13 +233,31 @@ class Trainer:
 
     def _load_dssm_data(self, base: str):
         cfg = self.cfg
-        dic, n2i, i2n = read_items_text(os.path.join(base, cfg.news))
+        if cfg.use_modal and cfg.modality == "vision":
+            from ..data.preprocess import read_image_manifest
+            from ..data.imagestore import open_store
+            from ..data.vision_loader import VisionBatchPipe
+            dic, n2i, i2n = read_image_manifest(os.path.join(base, cfg.news))
+        elif cfg.use_modal and cfg.stage == "end2end":
+            from ..models.encoders_zoo import load_tokenizer
+            tokenizer = load_tokenizer(cfg)
+            dic, n2i, i2n = read_items_tokenized(
+                os.path.join(base, cfg.news), cfg, tokenizer)
+        else:
+            dic, n2i, i2n = read_items_text(os.path.join(base, cfg.news))
         pd = read_behaviors_pairs(os.path.join(base, cfg.behaviors), dic, n2i,
                                   cfg.min_seq_len, cfg.max_seq_len, self.log)
         self.pd = pd
         self.item_num = pd.item_num
         self.user_num = pd.user_num
         self.item_content = None
+        if cfg.use_modal and cfg.modality == "vision":
+            store = open_store(os.path.join(base, cfg.image_store))
+            self.vision_pipe = VisionBatchPipe(store, pd.item_id_to_content,
+                                               cfg.image_resize)
+        elif cfg.use_modal and cfg.stage == "end2end":
+            self.item_content = jnp.asarray(
+                build_doc_matrix(pd.item_id_to_content, cfg))
         self.log_pop = None
         global_bs = cfg.batch_size * self.n_shards
         self.batcher = DSSMTrainBatcher(pd.train_pairs, pd.users_valid,
@@ -311,8 +329,12 @@ class Trainer:
         cfg = self.cfg
         if cfg.user_tower == "dssm":
             users, items, labels = raw
-            return {"users": jnp.asarray(users), "items": jnp.asarray(items),
-                    "labels": jnp.asarray(labels)}
+            batch = {"users": jnp.asarray(users), "items": jnp.asarray(items),
+                     "labels": jnp.asarray(labels)}
+            if self.vision_pipe is not None:
+                batch["content"] = jnp.asarray(
+                    self.vision_pipe.images_for(items))
+            return batch
         if cfg.loss == "inbatch_ce":
             ids, lm = raw
             batch = {"ids": jnp.asarray(ids), "log_mask": jnp.asarray(lm)}
@@ -421,7 +443,71 @@ class Trainer:
             self.state, _ = load_checkpoint(ckpt_path, self.state)
             self.state = self.state.replace(params=replicate(self.mesh, self.state.params))
             self.log.info(f"Model loaded from {ckpt_path}")
-        return self.run_eval("test")
+        result = self.run_eval("test")
+        if cfg.cold_behaviors:
+            self.run_special_eval()
+        return result
+
+    def run_special_eval(self):
+        """Cold-start / new-item evaluation (reference special.py, imported by
+        inbatch_sasrec_e2e_vision/run_test.py:12)."""
+        cfg = self.cfg
+        base = os.path.join(cfg.root_data_dir, cfg.dataset)
+        from .special_eval import (eval_cold, eval_new,
+                                   read_behaviors_special)
+        # 'before' item catalogs (new items may be absent from training)
+        if cfg.use_modal and cfg.modality == "text" and cfg.stage == "end2end":
+            from ..models.encoders_zoo import load_tokenizer
+            dic, before_n2i, _ = read_items_tokenized(
+                os.path.join(base, cfg.news), cfg, load_tokenizer(cfg))
+        elif cfg.use_modal and cfg.modality == "vision":
+            from ..data.preprocess import read_image_manifest
+            dic, before_n2i, _ = read_image_manifest(os.path.join(base, cfg.news))
+        else:
+            dic, before_n2i, _ = read_items_text(os.path.join(base, cfg.news))
+
+        new_path = (os.path.join(base, cfg.new_behaviors)
+                    if cfg.new_behaviors else None)
+        sc, hc, sn, hn, new_content = read_behaviors_special(
+            os.path.join(base, cfg.cold_behaviors), new_path,
+            self.bd.item_name_to_id, dic, before_n2i, cfg.use_modal, self.log)
+
+        content_fn = (self.vision_pipe.images_for
+                      if self.vision_pipe is not None else None)
+        table = compute_item_embeddings(
+            self.model, self.state.params, self.item_num, self.item_content,
+            cfg.embedding_dim, cfg.item_emb_batch_size, self.mesh,
+            content_fn=content_fn)
+        hit_c, ndcg_c = eval_cold(
+            self.model, self.state.params, table, sc, hc, cfg.max_seq_len,
+            cfg.eval_batch_size)
+        print_metrics([hit_c, ndcg_c], self.log, "cold")
+        if sn is None:
+            return (hit_c, ndcg_c), None
+        # encode new items fresh through the modality tower
+        if cfg.modality == "text":
+            new_rows = build_doc_matrix(new_content, cfg)
+            new_embs = self.model.apply(
+                self.state.params, jnp.zeros((len(new_rows),), jnp.int32),
+                jnp.asarray(new_rows), True, method="item_embs",
+                rngs={"masking": jax.random.PRNGKey(0)})
+        else:
+            # new_content maps new ids -> store keys
+            imgs = self.vision_pipe.transform(
+                [self.vision_pipe.store.get(new_content[i])
+                 for i in sorted(new_content)])
+            imgs = np.concatenate([np.zeros((1,) + imgs.shape[1:],
+                                            imgs.dtype), imgs])
+            new_embs = self.model.apply(
+                self.state.params,
+                jnp.zeros((imgs.shape[0],), jnp.int32), jnp.asarray(imgs),
+                True, method="item_embs",
+                rngs={"masking": jax.random.PRNGKey(0)})
+        hit_n, ndcg_n = eval_new(
+            self.model, self.state.params, table, new_embs, sn, hn,
+            cfg.max_seq_len, cfg.eval_batch_size)
+        print_metrics([hit_n, ndcg_n], self.log, "new")
+        return (hit_c, ndcg_c), (hit_n, ndcg_n)
 
 
 def run(cfg: Config):

@@ -127,8 +127,13 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
         uv = model.apply({"params": trainable, **aux},
                          embs[:, :-1].astype(compute_dtype), lm, False,
                          method="user_states", rngs=rngs)
-        loss = inbatch_debiased_ce(uv, embs, ids, lm, log_pop[ids],
-                                   axis_name=axis, gather_negatives=gather)
+        if cfg.use_pallas and not gather:
+            from ..ops.pallas.inbatch_ce import fused_inbatch_ce
+            loss = fused_inbatch_ce(uv, embs, ids, lm, log_pop[ids])
+        else:
+            loss = inbatch_debiased_ce(uv, embs, ids, lm, log_pop[ids],
+                                       axis_name=axis,
+                                       gather_negatives=gather)
         return loss, aux
 
     def _update(state: TrainState, loss, grads, new_aux):

@@ -109,6 +109,43 @@ def build_vision_tower(cfg, axis_name: Optional[str] = None):
         frozen = swin_frozen_paths(scfg, cfg.freeze_paras_before,
                                    prefix=("encoder", "net"))
         kind, feat = "swin", scfg.num_features
+    elif "beit" in name:
+        from transformers import AutoConfig
+        from .beit import (BeitConfig, BeitModel, convert_beit_state_dict,
+                           beit_frozen_paths)
+        bcfg = (BeitConfig.from_hf(AutoConfig.from_pretrained(path))
+                if os.path.isdir(path) else BeitConfig())
+        net = BeitModel(bcfg)
+        params = None
+        try:
+            from .convert_text import load_torch_state_dict
+            sd = load_torch_state_dict(path)
+            params = {"params": convert_beit_state_dict(sd, bcfg)}
+        except (FileNotFoundError, OSError):
+            pass
+        frozen = beit_frozen_paths(bcfg, cfg.freeze_paras_before,
+                                   prefix=("encoder", "net"))
+        kind, feat = "swin", bcfg.hidden_size  # pooled + classifier head
+    elif "clip" in name:
+        from transformers import AutoConfig
+        from .clip_vit import (CLIPVisionConfig, CLIPVisionModel,
+                               convert_clip_state_dict, clip_frozen_paths)
+        ccfg = CLIPVisionConfig()
+        if os.path.isdir(path):
+            hf = AutoConfig.from_pretrained(path)
+            ccfg = CLIPVisionConfig.from_hf(
+                getattr(hf, "vision_config", hf))
+        net = CLIPVisionModel(ccfg)
+        params = None
+        try:
+            from .convert_text import load_torch_state_dict
+            sd = load_torch_state_dict(path)
+            params = {"params": convert_clip_state_dict(sd, ccfg)}
+        except (FileNotFoundError, OSError):
+            pass
+        frozen = clip_frozen_paths(ccfg, cfg.freeze_paras_before,
+                                   prefix=("encoder", "net"))
+        kind, feat = "swin", ccfg.hidden_size  # pooled + classifier head
     else:  # mae
         from transformers import AutoConfig
         from .vit_mae import (ViTMAEConfig, ViTMAEModel,

@@ -146,3 +146,36 @@ def test_freeze_paths_match_reference_pooler_table():
     assert ("layer_9", "output_ln", "bias") in frozen
     assert not any(p[0] == "layer_10" for p in frozen)
     assert ("word_embeddings", "embedding") in frozen
+
+
+def test_text_tower_multi_attribute_average():
+    """title+abstract: one shared encoder, attribute vectors averaged
+    (reference Bert_Encoder.forward, encoders.py:107-117)."""
+    from idvs.morec_tpu.models.bert import BertConfig, BertModel
+    from idvs.morec_tpu.models.text_tower import TextTower
+
+    cfg = BertConfig(vocab_size=100, hidden_size=16, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=32,
+                     max_position_embeddings=32, hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    net = BertModel(cfg)
+    tower2 = TextTower(net=net, embedding_dim=8, word_embedding_dim=16,
+                       pooling="cls", attr_lengths=(6, 4))
+    rng = np.random.default_rng(0)
+    title = np.concatenate([rng.integers(1, 100, (3, 6)),
+                            np.ones((3, 6), np.int64)], axis=1)
+    abstract = np.concatenate([rng.integers(1, 100, (3, 4)),
+                               np.ones((3, 4), np.int64)], axis=1)
+    content = np.concatenate([title, abstract], axis=1)
+    params = tower2.init(jax.random.PRNGKey(0), jnp.asarray(content), True)
+    out = tower2.apply(params, jnp.asarray(content), True)
+    assert out.shape == (3, 8)
+    # average equals the mean of running each attribute alone
+    t1 = TextTower(net=net, embedding_dim=8, word_embedding_dim=16,
+                   pooling="cls", attr_lengths=(6,))
+    a_t = t1.apply(params, jnp.asarray(title), True)
+    t2 = TextTower(net=net, embedding_dim=8, word_embedding_dim=16,
+                   pooling="cls", attr_lengths=(4,))
+    a_a = t2.apply(params, jnp.asarray(abstract), True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray((a_t + a_a) / 2),
+                               rtol=1e-5)

@@ -403,10 +403,16 @@ class Trainer:
                     need_break = True
                     break
                 if batch_index % steps_for_log == 0:
+                    now = time.time()
+                    sps = (steps_for_log * cfg.batch_size * self.n_shards /
+                           max(now - getattr(self, "_last_log_t", now - 1e-9),
+                               1e-9))
+                    self._last_log_t = now
                     self.log.info(
-                        "cnt: {}, Ed: {}, batch loss: {:.5f}, sum loss: {:.5f}".format(
+                        "cnt: {}, Ed: {}, batch loss: {:.5f}, sum loss: {:.5f},"
+                        " samples/s: {:.0f}".format(
                             batch_index, batch_index * cfg.batch_size * self.n_shards,
-                            loss_sum / batch_index, loss_sum))
+                            loss_sum / batch_index, loss_sum, sps))
                 batch_index += 1
 
             if not need_break:

@@ -80,8 +80,17 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
                                     method="item_embs", rngs=rngs,
                                     mutable=["batch_stats"])
             return embs, {**aux, **mut}
-        return model.apply(variables, flat_ids, content, False,
-                           method="item_embs", rngs=rngs), aux
+
+        def fwd(variables, flat_ids, content):
+            return model.apply(variables, flat_ids, content, False,
+                               method="item_embs", rngs=rngs)
+
+        if cfg.remat_encoder:
+            # rematerialize the item-encoder activations in backward: trades
+            # FLOPs for HBM, letting B*(S) sequences through large encoders
+            # at batch sizes that would otherwise OOM
+            fwd = jax.checkpoint(fwd)
+        return fwd(variables, flat_ids, content), aux
 
     def local_loss(trainable, aux, batch, rng, gather: bool, axis):
         """Returns (loss, new_aux)."""

@@ -145,3 +145,35 @@ def test_inbatch_ce_gathered_equals_single_when_one_shard():
         in_specs=(P("data"),) * 5, out_specs=P())
     got = fn(user_vec, item_embs, item_ids, log_mask, log_pop)
     np.testing.assert_allclose(np.asarray(got), np.asarray(plain), rtol=1e-5)
+
+
+def test_gathered_negatives_match_global_batch():
+    """8-way sharded gather_negatives == single-device loss over the full
+    global batch (with equal per-shard valid counts, mean-of-means == mean)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    rng = np.random.default_rng(7)
+    B, L, D, item_num = 16, 4, 8, 40  # 2 rows/shard on 8 devices
+    S = L + 1
+    item_ids = rng.integers(1, item_num + 1, size=(B, S)).astype(np.int32)
+    log_mask = np.ones((B, L), dtype=np.float32)  # equal valid counts
+    user_vec = rng.normal(size=(B, L, D)).astype(np.float32)
+    item_embs = rng.normal(size=(B, S, D)).astype(np.float32)
+    pop = rng.uniform(0.01, 1.0, size=item_num + 1); pop[0] = 1.0
+    log_pop = np.log(pop[item_ids]).astype(np.float32)
+
+    global_loss = inbatch_debiased_ce(
+        jnp.asarray(user_vec), jnp.asarray(item_embs), jnp.asarray(item_ids),
+        jnp.asarray(log_mask), jnp.asarray(log_pop))
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("data",))
+    fn = jax.shard_map(
+        lambda u, e, i, m, p: jax.lax.pmean(
+            inbatch_debiased_ce(u, e, i, m, p, axis_name="data",
+                                gather_negatives=True), "data"),
+        mesh=mesh, in_specs=(P("data"),) * 5, out_specs=P(),
+        check_vma=False)
+    sharded_loss = fn(user_vec, item_embs, item_ids, log_mask, log_pop)
+    np.testing.assert_allclose(np.asarray(sharded_loss),
+                               np.asarray(global_loss), rtol=1e-5)

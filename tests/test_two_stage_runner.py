@@ -75,3 +75,35 @@ def test_gradient_accumulation(tmp_path, bert_dir):
     tr.state, _ = tr.train_step(tr.state, tr.make_batch(next(it)))
     p2 = emb()
     assert not np.allclose(p1, p2)         # second micro-step: apply
+
+
+def test_fusion_end2end_through_trainer(tmp_path, bert_dir):
+    """ID (+) encoder fusion trained end-to-end (bce_text/id_plus_mo-end2end)."""
+    root = synth(tmp_path)
+    for tower in ("modal_id_add", "modal_id_cat"):
+        cfg = Config(root_data_dir=root, dataset="TINY", news="news.tsv",
+                     behaviors="behaviors.tsv", item_tower=tower,
+                     modality="text", stage="end2end", loss="bce",
+                     bert_model_load="bert-tiny-test",
+                     pretrained_models_dir=os.path.dirname(bert_dir),
+                     num_words_title=8, news_attributes=("title",),
+                     max_seq_len=6, min_seq_len=3, batch_size=4,
+                     embedding_dim=16, word_embedding_dim=24,
+                     transformer_block=1, num_attention_heads=2, epoch=1,
+                     lr=1e-3, fine_tune_lr=1e-4, eval_batch_size=16)
+        os.chdir(tmp_path)
+        from idvs.morec_tpu.models.encoders_zoo import load_encoder
+        mesh = make_mesh(jax.devices("cpu")[:1])
+        tr = Trainer(cfg, log_file=quiet(), log_screen=quiet(), mesh=mesh,
+                     encoder_bundle=load_encoder(cfg))
+        tr.load_data()
+        tr.build_model()
+        # both towers exist in the tree
+        assert "id_embedding" in tr.state.params["params"]
+        assert "encoder" in tr.state.params["params"]
+        it = iter(tr.batcher.epoch(1))
+        for _ in range(2):
+            tr.state, loss = tr.train_step(tr.state, tr.make_batch(next(it)))
+            assert np.isfinite(float(loss))
+        hit, _ = tr.run_eval("valid")
+        assert 0.0 <= hit <= 1.0

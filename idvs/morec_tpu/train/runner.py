@@ -434,6 +434,8 @@ class Trainer:
             next_set_start = report_time_train(batch_index - 1, now_epoch,
                                                loss_sum, next_set_start,
                                                start_time, self.log)
+            self.log_screen.info("{} training: epoch {}/{}".format(
+                cfg.label_screen, now_epoch, cfg.epoch))
             if need_break:
                 break
         self.log.info(" max eval Hit10 {:0.5f}  in epoch {}".format(

@@ -113,3 +113,33 @@ def test_vision_tower_kinds():
                   "masking": jax.random.PRNGKey(1)}, x8, True)
     out = mae.apply(p, x8, True, rngs={"masking": jax.random.PRNGKey(2)})
     assert out.shape == (2, 12)
+
+
+def test_vision_bce_with_negative_images(tmp_path):
+    """BCE vision: negatives ship their own image batch
+    (bce_vision/main-end2end semantics)."""
+    root = synth_vision(tmp_path)
+    cfg = Config(root_data_dir=root, dataset="HMINY", news="images.tsv",
+                 behaviors="behaviors.tsv", image_store="imgs.mkv",
+                 item_tower="modal", modality="vision", stage="end2end",
+                 loss="bce", cv_model_load="resnet18", image_resize=32,
+                 max_seq_len=6, min_seq_len=3, batch_size=2,
+                 embedding_dim=16, transformer_block=1,
+                 num_attention_heads=2, epoch=1, lr=1e-3,
+                 eval_batch_size=8)
+    os.chdir(tmp_path)
+    from idvs.morec_tpu.models.vision_tower import build_vision_tower
+    bundle = build_vision_tower(cfg)
+    mesh = make_mesh(jax.devices("cpu")[:1])
+    tr = Trainer(cfg, log_file=quiet(), log_screen=quiet(), mesh=mesh,
+                 encoder_bundle=bundle)
+    tr.load_data()
+    tr.build_model()
+    raw = next(iter(tr.batcher.epoch(1)))
+    batch = tr.make_batch(raw)
+    assert "neg_content" in batch and batch["neg_content"].dtype == jnp.uint8
+    # negative slots with id 0 must be zero images
+    neg_ids = np.asarray(raw[1]).reshape(-1)
+    assert (np.asarray(batch["neg_content"])[neg_ids == 0] == 0).all()
+    tr.state, loss = tr.train_step(tr.state, batch)
+    assert np.isfinite(float(loss))

@@ -5,6 +5,10 @@ variants) plus the variant axes (--loss/--user_tower/--stage/--modality) that
 replace the reference's directory choice.
 """
 
+import os
+
+os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")  # reference run.py:23
+
 from .config import parse_args
 from .train.runner import run
 

@@ -1,0 +1,41 @@
+"""Every generated variant launcher must parse, and its base+grid flags must
+produce a valid Config through the same CLI path the runner uses."""
+
+import glob
+import importlib.util
+import itertools
+import os
+
+import pytest
+
+from idvs.morec_tpu.config import Config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SHIMS = sorted(glob.glob(os.path.join(REPO, "variants", "**", "*.py"),
+                         recursive=True))
+
+
+def test_found_all_variant_dirs():
+    dirs = {os.path.relpath(os.path.dirname(p), os.path.join(REPO, "variants"))
+            for p in SHIMS}
+    assert len(dirs) == 12, sorted(dirs)
+    assert "inbatch_sasrec_e2e_text" in dirs
+    assert "bce_text/main-end2end(DSSM)" in dirs
+    assert "bce_vision/id_plus_mo-2stage" in dirs
+
+
+@pytest.mark.parametrize("path", SHIMS, ids=lambda p: os.path.relpath(p, REPO))
+def test_shim_flags_build_valid_config(path):
+    spec = importlib.util.spec_from_file_location("shim", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # does not run grid_launch (main-guarded)
+    base, grid = mod.base, mod.grid
+    # first grid point -> Config must construct (axis/flag validation)
+    flags = dict(base)
+    flags.update({k: v[0] for k, v in grid.items()})
+    flags.pop("label_screen", None)
+    cfg = Config(**{k: v for k, v in flags.items()
+                    if k in {f.name for f in Config.__dataclass_fields__.values()}})
+    assert cfg.loss in ("inbatch_ce", "bce")
+    if "test_" in os.path.basename(path):
+        assert cfg.mode == "test" and "epoch-" in cfg.load_ckpt_name

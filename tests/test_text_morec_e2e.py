@@ -126,3 +126,27 @@ def test_text_morec_end2end(tmp_path, bert_dir):
 
     hit, ndcg = tr.run_eval("valid")
     assert 0.0 <= hit <= 1.0 and 0.0 <= ndcg <= 1.0
+
+
+def test_run_entrypoint_text_modal(tmp_path, bert_dir):
+    """Full run() CLI path: tokenizer -> encoder zoo -> trainer -> ckpt."""
+    import glob
+    from idvs.morec_tpu.run import main
+    root = synth(tmp_path, n_users=30, n_items=20)
+    os.chdir(tmp_path)
+    result = main([
+        "--root_data_dir", root, "--dataset", "TINY",
+        "--news", "news.tsv", "--behaviors", "behaviors.tsv",
+        "--item_tower", "modal", "--modality", "text",
+        "--bert_model_load", "bert-tiny-test",
+        "--pretrained_models_dir", os.path.dirname(bert_dir),
+        "--num_words_title", "8", "--news_attributes", "title",
+        "--max_seq_len", "6", "--min_seq_len", "3", "--batch_size", "4",
+        "--embedding_dim", "16", "--word_embedding_dim", "24",
+        "--transformer_block", "1", "--num_attention_heads", "2",
+        "--epoch", "1", "--lr", "1e-3", "--fine_tune_lr", "1e-4",
+        "--eval_batch_size", "16", "--mode", "train"])
+    best, best_epoch = result
+    assert 0.0 <= best <= 1.0 and best_epoch == 1
+    cpts = glob.glob("checkpoint_modal_bert-tiny-test_freeze_0/cpt_*/epoch-1.ckpt")
+    assert cpts, os.listdir(".")

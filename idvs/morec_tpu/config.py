@@ -97,6 +97,15 @@ class Config:
     # over many chips); at single-chip reference shapes XLA's own fusion wins
     # (measured 5.0 vs 5.6 ms/step on v5e) — so default off.
     use_pallas: bool = False
+    # Encode only the batch's UNIQUE items through the modality encoder and
+    # scatter the results back (host-side dedup, capacity dedup_cap; batches
+    # with more uniques fall back to full encoding). With popularity-skewed
+    # data most of the encoder work is duplicates — the reference encodes
+    # every occurrence. Exact for eval/frozen paths; under encoder dropout,
+    # duplicate occurrences share one dropout draw (the reference draws per
+    # occurrence), so default off for strict parity.
+    dedup_items: bool = False
+    dedup_cap: int = 0   # 0 = auto (3/4 of the batch's item slots)
     remat_encoder: bool = False         # jax.checkpoint on the item encoder
     profile_dir: str = ""               # jax.profiler trace dir ('' = off)
 

@@ -325,6 +325,27 @@ class Trainer:
                                           log_pop=self.log_pop)
 
     # ---------------------------------------------------------------- train
+    def _dedup_pack(self, batch: Dict[str, Any], id_arrays) -> None:
+        """Host-side unique-item packing (--dedup_items): ship the batch's
+        unique ids (+ their content) and the inverse map; the step encodes
+        each unique item ONCE. Falls back to full encoding (no keys added)
+        when uniques exceed the static capacity."""
+        cfg = self.cfg
+        flat = np.concatenate([np.asarray(a).reshape(-1) for a in id_arrays])
+        uniq, inv = np.unique(flat, return_inverse=True)
+        cap = cfg.dedup_cap or max(256, int(0.75 * len(flat) + 255) // 256 * 256)
+        if len(uniq) > cap:
+            return
+        uniq_p = np.zeros(cap, dtype=np.int32)
+        uniq_p[:len(uniq)] = uniq
+        batch["uniq_ids"] = jnp.asarray(uniq_p)
+        batch["inverse"] = jnp.asarray(inv.astype(np.int32))
+        if self.vision_pipe is not None:
+            batch["uniq_content"] = jnp.asarray(
+                self.vision_pipe.images_for(uniq_p))
+            batch.pop("content", None)
+            batch.pop("neg_content", None)
+
     def make_batch(self, raw) -> Dict[str, Any]:
         cfg = self.cfg
         if cfg.user_tower == "dssm":
@@ -338,13 +359,19 @@ class Trainer:
         if cfg.loss == "inbatch_ce":
             ids, lm = raw
             batch = {"ids": jnp.asarray(ids), "log_mask": jnp.asarray(lm)}
-            if self.vision_pipe is not None:
+            if cfg.dedup_items and cfg.use_modal and self.n_shards == 1:
+                # dedup metadata is unsharded; multi-shard meshes would need
+                # per-shard packing — single-device only for now
+                self._dedup_pack(batch, [ids])
+            if self.vision_pipe is not None and "uniq_ids" not in batch:
                 batch["content"] = jnp.asarray(self.vision_pipe.images_for(ids))
             return batch
         pos, neg, lm = raw
         batch = {"ids": jnp.asarray(pos), "neg_ids": jnp.asarray(neg),
                  "log_mask": jnp.asarray(lm)}
-        if self.vision_pipe is not None:
+        if cfg.dedup_items and cfg.use_modal and self.n_shards == 1:
+            self._dedup_pack(batch, [pos, neg])
+        if self.vision_pipe is not None and "uniq_ids" not in batch:
             batch["content"] = jnp.asarray(self.vision_pipe.images_for(pos))
             batch["neg_content"] = jnp.asarray(self.vision_pipe.images_for(neg))
         return batch

@@ -111,15 +111,36 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
 
         ids, lm = batch["ids"], batch["log_mask"]
         B, S = ids.shape
+
+        def _encode_slots(flat_ids, content_key):
+            """Encode all item slots; with host-side dedup metadata present,
+            encode only the unique items and gather back (the reference
+            encodes every occurrence — duplicates are pure waste)."""
+            if "uniq_ids" in batch:
+                uniq = batch["uniq_ids"]
+                content = batch.get("uniq_content")
+                if content is None and item_content is not None:
+                    content = item_content[uniq]
+                embs_u, new_aux = _item_embs(trainable, aux, uniq, content,
+                                             rngs, mutable)
+                return embs_u[batch["inverse"]], new_aux
+            content = batch.get(content_key)
+            if content is None and item_content is not None:
+                content = item_content[flat_ids]
+            return _item_embs(trainable, aux, flat_ids, content, rngs, mutable)
+
         if cfg.loss == "bce":
-            content = _gather_content(batch, "ids", "content")
-            neg_content = _gather_content(batch, "neg_ids", "neg_content")
-            all_ids = jnp.concatenate([ids.reshape(-1),
-                                       batch["neg_ids"].reshape(-1)])
-            all_content = (None if content is None else
-                           jnp.concatenate([content, neg_content]))
-            embs, aux = _item_embs(trainable, aux, all_ids, all_content,
-                                   rngs, mutable)
+            if "uniq_ids" in batch:
+                embs, aux = _encode_slots(None, None)
+            else:
+                content = _gather_content(batch, "ids", "content")
+                neg_content = _gather_content(batch, "neg_ids", "neg_content")
+                all_ids = jnp.concatenate([ids.reshape(-1),
+                                           batch["neg_ids"].reshape(-1)])
+                all_content = (None if content is None else
+                               jnp.concatenate([content, neg_content]))
+                embs, aux = _item_embs(trainable, aux, all_ids, all_content,
+                                       rngs, mutable)
             pos_embs = embs[:B * S].reshape(B, S, cfg.embedding_dim)
             neg_embs = embs[B * S:].reshape(B, S, cfg.embedding_dim)
             uv = model.apply({"params": trainable, **aux}, pos_embs[:, :-1],
@@ -129,9 +150,7 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
             return bce_sasrec_loss(uv, pos_embs[:, 1:], neg_embs[:, :-1], lm), aux
 
         # in-batch debiased CE
-        content = _gather_content(batch, "ids", "content")
-        embs, aux = _item_embs(trainable, aux, ids.reshape(-1), content,
-                               rngs, mutable)
+        embs, aux = _encode_slots(ids.reshape(-1), "content")
         embs = embs.reshape(B, S, cfg.embedding_dim)
         uv = model.apply({"params": trainable, **aux},
                          embs[:, :-1].astype(compute_dtype), lm, False,

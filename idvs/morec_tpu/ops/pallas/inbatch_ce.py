@@ -131,24 +131,26 @@ def _pad_to(x, n, axis=0, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _prep(user_vec, item_embs, item_ids, log_mask, log_pop, L, bm, bn):
+def _prep(user_vec, item_ids, log_mask, cand_e, cand_i, cand_cm, cand_lp,
+          label_off, L, bm, bn):
+    """Rows are always local (user_vec, item_ids, log_mask); candidates may
+    be the local batch or the gathered global batch (gather_negatives)."""
     B, _, D = user_vec.shape
     S = L + 1
-    M, N = B * L, B * S
+    M = B * L
+    N = cand_e.shape[0] * S
     Mp = ((M + bm - 1) // bm) * bm
     Np = ((N + bn - 1) // bn) * bn
     u = _pad_to(user_vec.reshape(M, D).astype(jnp.float32), Mp)
-    cand = _pad_to(item_embs.reshape(N, D).astype(jnp.float32), Np)
-    logpop = _pad_to(log_pop.reshape(1, N).astype(jnp.float32), Np, axis=1)
-    colmask = jnp.concatenate(
-        [log_mask, jnp.ones((B, 1), log_mask.dtype)], axis=1).reshape(1, N)
-    colmask = _pad_to(colmask.astype(jnp.float32), Np, axis=1)  # pads masked
-    cand_ids = _pad_to(item_ids.reshape(1, N).astype(jnp.int32), Np,
+    cand = _pad_to(cand_e.reshape(N, D).astype(jnp.float32), Np)
+    logpop = _pad_to(cand_lp.reshape(1, N).astype(jnp.float32), Np, axis=1)
+    colmask = _pad_to(cand_cm.reshape(1, N).astype(jnp.float32), Np, axis=1)
+    cand_ids = _pad_to(cand_i.reshape(1, N).astype(jnp.int32), Np,
                        axis=1, value=-1)
     # per-row metadata: [user's S ids || label column index]
     rows = jnp.arange(M)
     users = rows // L
-    labels = (users * S + rows % L + 1).astype(jnp.int32)
+    labels = (label_off + users * S + rows % L + 1).astype(jnp.int32)
     meta = jnp.concatenate(
         [item_ids.astype(jnp.int32)[users], labels[:, None]], axis=1)
     meta = _pad_to(meta, Mp, value=-2)  # padded rows: ids -2 never match
@@ -169,11 +171,13 @@ def _full_specs(meta, bm, bn, D, S):
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _fused_ce(user_vec, item_embs, item_ids, log_mask, log_pop,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _fused_ce(user_vec, cand_embs, item_ids, log_mask, cand_ids,
+              cand_colmask, cand_logpop, label_off,
               L: int, bm: int, bn: int, interpret: bool):
-    loss, _ = _fused_ce_fwd(user_vec, item_embs, item_ids, log_mask,
-                            log_pop, L, bm, bn, interpret)
+    loss, _ = _fused_ce_fwd(user_vec, cand_embs, item_ids, log_mask,
+                            cand_ids, cand_colmask, cand_logpop, label_off,
+                            L, bm, bn, interpret)
     return loss
 
 
@@ -193,24 +197,28 @@ def _run_fwd(u, cand, logpop, colmask, cand_ids, meta, bm, bn, D, S,
     )(meta, u, cand, logpop, colmask, cand_ids)
 
 
-def _fused_ce_fwd(user_vec, item_embs, item_ids, log_mask, log_pop,
+def _fused_ce_fwd(user_vec, cand_embs, item_ids, log_mask, cand_ids_in,
+                  cand_colmask, cand_logpop, label_off,
                   L, bm, bn, interpret):
     (u, cand, logpop, colmask, cand_ids, meta, w,
-     M, N, Mp, Np, S, D) = _prep(user_vec, item_embs, item_ids, log_mask,
-                                 log_pop, L, bm, bn)
+     M, N, Mp, Np, S, D) = _prep(user_vec, item_ids, log_mask, cand_embs,
+                                 cand_ids_in, cand_colmask, cand_logpop,
+                                 label_off, L, bm, bn)
     ce, m_arr, l_arr = _run_fwd(u, cand, logpop, colmask, cand_ids, meta,
                                 bm, bn, D, S, Mp, Np, interpret)
     n_valid = jnp.maximum(w.sum(), 1.0)
     loss = (ce[:, 0] * w).sum() / n_valid
-    return loss, (user_vec, item_embs, item_ids, log_mask, log_pop,
-                  m_arr, l_arr)
+    return loss, (user_vec, cand_embs, item_ids, log_mask, cand_ids_in,
+                  cand_colmask, cand_logpop, label_off, m_arr, l_arr)
 
 
 def _fused_ce_bwd(L, bm, bn, interpret, res, g):
-    (user_vec, item_embs, item_ids, log_mask, log_pop, m_arr, l_arr) = res
+    (user_vec, cand_embs, item_ids, log_mask, cand_ids_in, cand_colmask,
+     cand_logpop, label_off, m_arr, l_arr) = res
     (u, cand, logpop, colmask, cand_ids, meta, w,
-     M, N, Mp, Np, S, D) = _prep(user_vec, item_embs, item_ids, log_mask,
-                                 log_pop, L, bm, bn)
+     M, N, Mp, Np, S, D) = _prep(user_vec, item_ids, log_mask, cand_embs,
+                                 cand_ids_in, cand_colmask, cand_logpop,
+                                 label_off, L, bm, bn)
     n_valid = jnp.maximum(w.sum(), 1.0)
     w_scaled = jnp.broadcast_to((w * g / n_valid)[:, None], (Mp, LANES))
 
@@ -231,24 +239,56 @@ def _fused_ce_bwd(L, bm, bn, interpret, res, g):
 
     B = user_vec.shape[0]
     du = du[:M].reshape(B, L, D).astype(user_vec.dtype)
-    dcand = dcand[:N].reshape(B, S, D).astype(item_embs.dtype)
-    return du, dcand, None, None, None
+    dcand = dcand[:N].reshape(cand_embs.shape).astype(cand_embs.dtype)
+    return du, dcand, None, None, None, None, None, None
 
 
 _fused_ce.defvjp(_fused_ce_fwd, _fused_ce_bwd)
 
 
-def fused_inbatch_ce(user_vec, item_embs, item_ids, log_mask, log_pop,
-                     bm: int = 128, bn: int = 512, interpret: bool = False):
-    """Drop-in fused replacement for ops.losses.inbatch_debiased_ce with
-    local negatives (gather_negatives callers should all-gather candidates
-    before the call). log_pop is (B, S) like the XLA path."""
-    B, L, D = user_vec.shape
-    M, N = B * L, B * (L + 1)
+def _tiles(M, N, bm, bn):
     bm = max(8, min(bm, M))
     while M % bm:
         bm //= 2
     bn = max(128, min(bn, N))
-    Np = ((N + bn - 1) // bn) * bn
-    return _fused_ce(user_vec, item_embs, item_ids, log_mask, log_pop,
+    return bm, bn
+
+
+def fused_inbatch_ce(user_vec, item_embs, item_ids, log_mask, log_pop,
+                     bm: int = 128, bn: int = 512, interpret: bool = False):
+    """Drop-in fused replacement for ops.losses.inbatch_debiased_ce with
+    LOCAL negatives. log_pop is (B, S) like the XLA path."""
+    B, L, D = user_vec.shape
+    bm, bn = _tiles(B * L, B * (L + 1), bm, bn)
+    colmask = jnp.concatenate(
+        [log_mask, jnp.ones((B, 1), log_mask.dtype)], axis=1)
+    return _fused_ce(user_vec, item_embs, item_ids, log_mask, item_ids,
+                     colmask, log_pop, jnp.zeros((), jnp.int32),
+                     L, bm, bn, interpret)
+
+
+def fused_inbatch_ce_gathered(user_vec, item_embs, item_ids, log_mask,
+                              log_pop, axis_name: str,
+                              bm: int = 128, bn: int = 512,
+                              interpret: bool = False):
+    """gather_negatives edition (inside shard_map): candidates are
+    all-gathered across `axis_name`; rows stay local. The gradient wrt the
+    gathered candidates flows back through all_gather's transpose.
+
+    This is the kernel's target regime: with W chips the logits matrix is
+    (B*L, W*B*S) and materializing it in HBM (the XLA path) costs W times
+    more than single-chip — the fused kernel keeps tiles in VMEM."""
+    B, L, D = user_vec.shape
+    S = L + 1
+    cand_embs = jax.lax.all_gather(item_embs, axis_name, tiled=True)
+    cand_ids = jax.lax.all_gather(item_ids, axis_name, tiled=True)
+    colmask = jnp.concatenate(
+        [log_mask, jnp.ones((B, 1), log_mask.dtype)], axis=1)
+    cand_colmask = jax.lax.all_gather(colmask, axis_name, tiled=True)
+    cand_logpop = jax.lax.all_gather(log_pop, axis_name, tiled=True)
+    label_off = (jax.lax.axis_index(axis_name) * B * S).astype(jnp.int32)
+    W = cand_embs.shape[0] // B
+    bm, bn = _tiles(B * L, W * B * S, bm, bn)
+    return _fused_ce(user_vec, cand_embs, item_ids, log_mask, cand_ids,
+                     cand_colmask, cand_logpop, label_off,
                      L, bm, bn, interpret)

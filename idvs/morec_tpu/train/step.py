@@ -158,6 +158,10 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
         if cfg.use_pallas and not gather:
             from ..ops.pallas.inbatch_ce import fused_inbatch_ce
             loss = fused_inbatch_ce(uv, embs, ids, lm, log_pop[ids])
+        elif cfg.use_pallas and gather:
+            from ..ops.pallas.inbatch_ce import fused_inbatch_ce_gathered
+            loss = fused_inbatch_ce_gathered(uv, embs, ids, lm,
+                                             log_pop[ids], axis)
         else:
             loss = inbatch_debiased_ce(uv, embs, ids, lm, log_pop[ids],
                                        axis_name=axis,

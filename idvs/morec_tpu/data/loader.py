@@ -18,7 +18,7 @@ Design (TPU-first, replaces torch DataLoader + worker processes):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
 

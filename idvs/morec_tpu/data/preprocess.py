@@ -16,7 +16,7 @@ Reproduces the reference preprocessing semantics exactly:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

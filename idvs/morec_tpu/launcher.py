@@ -11,7 +11,6 @@ the reference's isolation and frees all device memory between points).
 from __future__ import annotations
 
 import itertools
-import os
 import subprocess
 import sys
 from typing import Dict, List, Sequence

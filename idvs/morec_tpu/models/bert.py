@@ -16,8 +16,6 @@ matmuls stay [B*S, T, H] x [H, H'] with no dynamic control flow.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 
-from .layers import MLPLayers, xavier_normal
+from .layers import MLPLayers
 
 
 class MLPEncoder(nn.Module):

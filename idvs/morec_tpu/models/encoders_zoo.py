@@ -12,7 +12,6 @@ group predicate keys off that, train/state.py).
 from __future__ import annotations
 
 import os
-from typing import Optional, Set, Tuple
 
 # Hidden sizes + pooler parameter indices per model size
 # (reference run.py:36-72 hard-codes these per bert_model_load name).

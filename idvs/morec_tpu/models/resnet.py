@@ -13,8 +13,7 @@ to HWIO.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

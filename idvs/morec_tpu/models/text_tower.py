@@ -13,7 +13,7 @@ Reference semantics (inbatch_sasrec_e2e_text/model/encoders.py:31-117):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -74,7 +74,6 @@ def build_text_tower(cfg):
     from .bert import BertConfig, BertModel
     from .convert_text import (bert_frozen_paths, convert_bert_state_dict,
                                load_torch_state_dict)
-    from .encoders_zoo import text_model_spec
 
     name = cfg.bert_model_load
     path = os.path.join(cfg.pretrained_models_dir, name)

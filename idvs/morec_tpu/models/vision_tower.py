@@ -13,7 +13,7 @@ Two-stage mode returns the raw pre-GELU features for the cache
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -18,12 +18,12 @@ TPU-first departures from the reference implementation (same math):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from .masking import MASK_VAL, inbatch_rejection_mask, label_columns
+from .masking import MASK_VAL, label_columns
 
 
 def _log_softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray,

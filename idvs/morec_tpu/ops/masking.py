@@ -8,7 +8,6 @@ Replaces two reference hot spots:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e9

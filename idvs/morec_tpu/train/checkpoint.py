@@ -16,12 +16,11 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import flax.serialization
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def save_checkpoint(model_dir: str, epoch: int, state, extra: Optional[Dict] = None,

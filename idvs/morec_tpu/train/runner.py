@@ -31,7 +31,7 @@ from ..data.preprocess import (BehaviorData, build_doc_matrix, read_behaviors,
                                read_items_tokenized)
 from ..models.model import make_model
 from ..parallel.mesh import make_mesh, replicate
-from ..utils.logging import (get_time, para_and_log, print_metrics,
+from ..utils.logging import (para_and_log, print_metrics,
                              report_time_eval, report_time_train, setuplogger)
 from .checkpoint import (epoch_from_name, get_checkpoint, load_checkpoint,
                          save_checkpoint)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import EvalBatches, pad_user_sequences
-from ..ops.metrics import hit_and_ndcg, masked_catalog_scores, target_rank
+from ..ops.metrics import hit_and_ndcg, masked_catalog_scores
 from .evaluate import evaluate
 
 

@@ -22,12 +22,11 @@ int32 ids per step, eliminating the reference's per-batch H2D content copies
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.losses import bce_dssm_loss, bce_sasrec_loss, inbatch_debiased_ce
 from .state import TrainState

@@ -48,6 +48,9 @@ class Config:
     min_seq_len: int = 5
     cold_behaviors: str = ""   # cold-start eval TSV ('' = off), test mode
     new_behaviors: str = ""    # new-item eval TSV ('' = off), test mode
+    new_image_store: str = ""  # separate store for unseen items' images
+                               # (reference keeps new-item images in their own
+                               # LMDB, inbatch_sasrec_e2e_vision/special.py)
     num_words_title: int = 30
     num_words_abstract: int = 50
     num_words_body: int = 50

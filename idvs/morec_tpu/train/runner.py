@@ -538,10 +538,14 @@ class Trainer:
                 jnp.asarray(new_rows), True, method="item_embs",
                 rngs={"masking": jax.random.PRNGKey(0)})
         else:
-            # new_content maps new ids -> store keys
+            # new_content maps new ids -> store keys; unseen items may live
+            # in their own store (reference vision special.py)
+            store = self.vision_pipe.store
+            if cfg.new_image_store:
+                from ..data.imagestore import open_store
+                store = open_store(os.path.join(base, cfg.new_image_store))
             imgs = self.vision_pipe.transform(
-                [self.vision_pipe.store.get(new_content[i])
-                 for i in sorted(new_content)])
+                [store.get(new_content[i]) for i in sorted(new_content)])
             imgs = np.concatenate([np.zeros((1,) + imgs.shape[1:],
                                             imgs.dtype), imgs])
             new_embs = self.model.apply(

@@ -22,8 +22,8 @@ utilization).
 BENCH_CONFIG=text_morec_uniform: uniform ids, no dedup (per-occurrence
 encoding like the reference). BENCH_CONFIG=idrec: the IDRec secondary.
 
-Round-1 measurements (v5e-1): zipf+dedup 2038 sps, uniform no-dedup 724 sps,
-idrec ~23k sps.
+Round-1 measurements (v5e-1): zipf+dedup 2642 sps (vs_baseline 1.60),
+uniform no-dedup 724 sps, idrec ~25k sps.
 """
 
 import json
@@ -37,7 +37,7 @@ BASELINE_SPS = {
     "text_morec_uniform": 3 * 550.0,
     "idrec": 75_000.0,                # 3x estimated A100 for the ID model
 }
-DEDUP_CAP = 1024
+DEDUP_CAP = 768  # fits the Zipf(1.2) seed-0 batch's 748 uniques
 
 
 def _build(config: str):

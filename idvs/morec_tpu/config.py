@@ -121,6 +121,9 @@ class Config:
         # (run.py:325-332: "'modal' in args.item_tower").
         assert self.loss in ("inbatch_ce", "bce")
         assert self.user_tower in ("sasrec", "dssm")
+        # the reference's DSSM variants are BCE-only (bce_*/main-end2end(DSSM))
+        assert not (self.user_tower == "dssm" and self.loss != "bce"), \
+            "DSSM supports loss='bce' only"
         assert self.item_tower in ("id", "modal", "modal_id_add", "modal_id_cat")
         assert self.stage in ("end2end", "two_stage")
         assert self.modality in ("text", "vision")

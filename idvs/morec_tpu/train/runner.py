@@ -407,7 +407,12 @@ class Trainer:
         start_epoch = 0
         is_early_stop = True
         if "None" not in cfg.load_ckpt_name:
-            ckpt_path = get_checkpoint(self.model_dir, cfg.load_ckpt_name)
+            if cfg.load_ckpt_name == "latest":
+                from .checkpoint import latest_checkpoint
+                ckpt_path = latest_checkpoint(self.model_dir)
+                cfg.load_ckpt_name = os.path.basename(ckpt_path)
+            else:
+                ckpt_path = get_checkpoint(self.model_dir, cfg.load_ckpt_name)
             self.state, payload = load_checkpoint(ckpt_path, self.state)
             self.state = self.state.replace(params=replicate(self.mesh, self.state.params))
             start_epoch = epoch_from_name(cfg.load_ckpt_name)
@@ -484,7 +489,11 @@ class Trainer:
     def test(self):
         """Standalone checkpoint evaluation (reference run_test.py:26-187)."""
         cfg = self.cfg
-        ckpt_path = get_checkpoint(self.model_dir, cfg.load_ckpt_name)
+        if cfg.load_ckpt_name == "latest":
+            from .checkpoint import latest_checkpoint
+            ckpt_path = latest_checkpoint(self.model_dir)
+        else:
+            ckpt_path = get_checkpoint(self.model_dir, cfg.load_ckpt_name)
         if ckpt_path:
             self.state, _ = load_checkpoint(ckpt_path, self.state)
             self.state = self.state.replace(params=replicate(self.mesh, self.state.params))

@@ -88,3 +88,15 @@ def test_eval_matches_naive_ranking(tmp_path):
         ndcgs.append(1.0 / np.log2(rank + 1) if rank <= 10 else 0.0)
     np.testing.assert_allclose(hit, np.mean(hits), atol=1e-6)
     np.testing.assert_allclose(ndcg, np.mean(ndcgs), atol=1e-5)
+
+
+def test_load_latest_checkpoint(tmp_path):
+    tr = _trainer(tmp_path)
+    _run_epoch(tr, 1)
+    save_checkpoint(tr.model_dir, 1, tr.state)
+    save_checkpoint(tr.model_dir, 3, tr.state)
+    tr2 = _trainer(tmp_path)
+    tr2.cfg.load_ckpt_name = "latest"
+    tr2.cfg.mode = "test"
+    hit, ndcg = tr2.test()  # resolves epoch-3.ckpt via latest_checkpoint
+    assert 0.0 <= hit <= 1.0

@@ -110,6 +110,12 @@ class Config:
     dedup_items: bool = False
     dedup_cap: int = 0   # 0 = auto (3/4 of the batch's item slots)
     remat_encoder: bool = False         # jax.checkpoint on the item encoder
+    # Encode item content in chunks of this many items via lax.scan (with
+    # remat): caps encoder activation memory at one chunk — required for
+    # 224px vision towers at reference batch sizes on 16 GB chips. 0 = off.
+    # Not compatible with BatchNorm towers (ResNet) in train mode; dropout
+    # draws repeat per chunk.
+    encoder_chunk: int = 0
     profile_dir: str = ""               # jax.profiler trace dir ('' = off)
 
     def __post_init__(self):

@@ -84,6 +84,23 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
             return model.apply(variables, flat_ids, content, False,
                                method="item_embs", rngs=rngs)
 
+        chunk = cfg.encoder_chunk
+        if chunk and content is not None and flat_ids.shape[0] % chunk == 0:
+            # microbatch the encoder over item chunks: activation memory is
+            # capped at one chunk (remat'd scan body). Lets 224px vision
+            # towers train at the reference batch sizes on 16 GB HBM.
+            k = flat_ids.shape[0] // chunk
+
+            def body(_, xs):
+                ids_c, content_c = xs
+                return None, fwd(variables, ids_c, content_c)
+
+            _, outs = jax.lax.scan(
+                jax.checkpoint(body), None,
+                (flat_ids.reshape(k, chunk),
+                 content.reshape((k, chunk) + content.shape[1:])))
+            return outs.reshape((flat_ids.shape[0],) + outs.shape[2:]), aux
+
         if cfg.remat_encoder:
             # rematerialize the item-encoder activations in backward: trades
             # FLOPs for HBM, letting B*(S) sequences through large encoders

@@ -172,3 +172,33 @@ def test_dedup_items_multishard(tmp_path, bert_dir):
         tr.state, loss = tr.train_step(tr.state, batch)
         losses[dedup] = float(loss)
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
+
+
+def test_encoder_chunk_equivalence(tmp_path, bert_dir):
+    """--encoder_chunk microbatching must give the same loss as one-shot
+    encoding when the encoder is deterministic."""
+    root = synth(tmp_path)
+    losses = {}
+    for chunk in (0, 7):  # B*S = 4*7 = 28 slots -> 4 chunks of 7
+        cfg = Config(root_data_dir=root, dataset="TINY", news="news.tsv",
+                     behaviors="behaviors.tsv", item_tower="modal",
+                     modality="text", stage="end2end",
+                     bert_model_load="bert-tiny-test",
+                     pretrained_models_dir=os.path.dirname(bert_dir),
+                     num_words_title=8, news_attributes=("title",),
+                     max_seq_len=6, min_seq_len=3, batch_size=4,
+                     embedding_dim=16, word_embedding_dim=24,
+                     transformer_block=1, num_attention_heads=2, epoch=1,
+                     lr=1e-3, drop_rate=0.0, encoder_chunk=chunk,
+                     compute_dtype="float32", eval_batch_size=16)
+        os.chdir(tmp_path)
+        from idvs.morec_tpu.models.encoders_zoo import load_encoder
+        mesh = make_mesh(jax.devices("cpu")[:1])
+        tr = Trainer(cfg, log_file=quiet(), log_screen=quiet(), mesh=mesh,
+                     encoder_bundle=load_encoder(cfg))
+        tr.load_data()
+        tr.build_model()
+        tr.state, loss = tr.train_step(
+            tr.state, tr.make_batch(next(iter(tr.batcher.epoch(1)))))
+        losses[chunk] = float(loss)
+    np.testing.assert_allclose(losses[7], losses[0], rtol=1e-5)

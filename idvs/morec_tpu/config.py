@@ -87,7 +87,9 @@ class Config:
     testing_num: int = 1
     num_workers: int = 0
     eval_batch_size: int = 512
-    early_stop_gap: int = 10
+    early_stop_gap: int = -1   # -1 = auto: 10 text / 6 vision (reference
+                               # run.py early-stop counts; vision uses 6,
+                               # inbatch_sasrec_e2e_vision/run.py:185-188)
     item_emb_batch_size: int = 512
 
     # ---- TPU-native knobs (no reference equivalent) ----
@@ -133,6 +135,8 @@ class Config:
         assert self.item_tower in ("id", "modal", "modal_id_add", "modal_id_cat")
         assert self.stage in ("end2end", "two_stage")
         assert self.modality in ("text", "vision")
+        if self.early_stop_gap < 0:
+            self.early_stop_gap = 6 if self.modality == "vision" else 10
 
     # -- derived properties ------------------------------------------------
     @property

@@ -37,21 +37,21 @@ class BehaviorData:
 
 def read_items_text(news_path: str):
     """ID-mode item reader: name -> dense id (reference preprocess.py:84-98)."""
-    item_id_to_dic = {}
-    item_id_to_name = {}
-    item_name_to_id = {}
-    item_id = 1
+    content_of = {}
+    name_of = {}
+    id_of = {}
+    next_id = 1
     with open(news_path, "r") as f:
         for line in f:
-            splited = line.strip("\n").split("\t")
-            doc_name = splited[0]
-            item_name_to_id[doc_name] = item_id
-            item_id_to_dic[item_id] = doc_name
-            item_id_to_name[item_id] = doc_name
-            item_id += 1
-    # reference appends a mask sentence at item_id (preprocess.py:97)
-    item_id_to_dic[item_id] = "this is a mask sentence"
-    return item_id_to_dic, item_name_to_id, item_id_to_name
+            fields = line.strip("\n").split("\t")
+            name = fields[0]
+            id_of[name] = next_id
+            content_of[next_id] = name
+            name_of[next_id] = name
+            next_id += 1
+    # reference appends a mask sentence at the next free id (preprocess.py:97)
+    content_of[next_id] = "this is a mask sentence"
+    return content_of, id_of, name_of
 
 
 def read_items_tokenized(news_path: str, cfg, tokenizer):
@@ -59,14 +59,14 @@ def read_items_tokenized(news_path: str, cfg, tokenizer):
 
     Tokenization stays host-side (HF tokenizers), outside the jitted path.
     """
-    item_id_to_dic = {}
-    item_id_to_name = {}
-    item_name_to_id = {}
-    item_id = 1
+    content_of = {}
+    name_of = {}
+    id_of = {}
+    next_id = 1
     with open(news_path, "r") as f:
         for line in f:
-            splited = line.strip("\n").split("\t")
-            doc_name, title, abstract = splited[0], splited[1], splited[2]
+            fields = line.strip("\n").split("\t")
+            name, title, abstract = fields[0], fields[1], fields[2]
             tok = {}
             if "title" in cfg.news_attributes:
                 tok["title"] = tokenizer(title.lower(), max_length=cfg.num_words_title,
@@ -75,14 +75,14 @@ def read_items_tokenized(news_path: str, cfg, tokenizer):
                 tok["abstract"] = tokenizer(abstract.lower(), max_length=cfg.num_words_abstract,
                                             padding="max_length", truncation=True)
             if "body" in cfg.news_attributes:
-                body = splited[3] if len(splited) > 3 else ""
+                body = fields[3] if len(fields) > 3 else ""
                 tok["body"] = tokenizer(body.lower()[:2000], max_length=cfg.num_words_body,
                                         padding="max_length", truncation=True)
-            item_name_to_id[doc_name] = item_id
-            item_id_to_name[item_id] = doc_name
-            item_id_to_dic[item_id] = tok
-            item_id += 1
-    return item_id_to_dic, item_name_to_id, item_id_to_name
+            id_of[name] = next_id
+            name_of[next_id] = name
+            content_of[next_id] = tok
+            next_id += 1
+    return content_of, id_of, name_of
 
 
 def read_image_manifest(images_path: str) -> Tuple[dict, dict, dict]:
@@ -90,19 +90,67 @@ def read_image_manifest(images_path: str) -> Tuple[dict, dict, dict]:
 
     Reference inbatch_sasrec_e2e_vision/data_utils/preprocess.py:88-101.
     """
-    item_id_to_keys = {}
-    item_name_to_id = {}
-    item_id_to_name = {}
-    item_id = 1
+    key_of = {}
+    id_of = {}
+    name_of = {}
+    next_id = 1
     with open(images_path, "r") as f:
         for line in f:
-            splited = line.strip("\n").split("\t")
-            image_name = splited[0]
-            item_name_to_id[image_name] = item_id
-            item_id_to_name[item_id] = image_name
-            item_id_to_keys[item_id] = str(image_name[1:]).encode("ascii")
-            item_id += 1
-    return item_id_to_keys, item_name_to_id, item_id_to_name
+            fields = line.strip("\n").split("\t")
+            name = fields[0]
+            id_of[name] = next_id
+            name_of[next_id] = name
+            key_of[next_id] = str(name[1:]).encode("ascii")
+            next_id += 1
+    return key_of, id_of, name_of
+
+
+def _read_user_sequences(behaviors_path: str, id_of: dict,
+                         min_seq_len: int, max_seq_len: int):
+    """Shared first pass over the behavior TSV.
+
+    Reference semantics (preprocess.py:10-24): drop users shorter than
+    min_seq_len, keep only the LAST max_seq_len+3 interactions, and count
+    every surviving interaction per raw item id. Returns
+    (per-user raw-id sequences in file order, raw interaction counts,
+     total surviving interactions).
+    """
+    n_raw_items = len(id_of)
+    raw_counts = np.zeros(n_raw_items + 1, dtype=np.int64)
+    raw_seqs: Dict[str, List[int]] = {}
+    n_pairs = 0
+    with open(behaviors_path, "r") as f:
+        for line in f:
+            fields = line.strip("\n").split("\t")
+            user_name, clicked = fields[0], fields[1].split(" ")
+            if len(clicked) < min_seq_len:
+                continue
+            clicked = clicked[-(max_seq_len + 3):]
+            seq = [id_of[name] for name in clicked]
+            raw_seqs[user_name] = seq
+            for rid in seq:
+                raw_counts[rid] += 1
+                n_pairs += 1
+    return raw_seqs, raw_counts, n_pairs
+
+
+def _densify_items(raw_counts: np.ndarray, raw_content_of: dict,
+                   raw_name_of: dict = None):
+    """Drop zero-count items and re-id survivors densely from 1, preserving
+    the ORIGINAL id order (reference preprocess.py:26-38). Returns
+    (raw->dense map, dense content dict, dense name->id dict or None)."""
+    dense_of: Dict[int, int] = {}
+    content_of: Dict[int, object] = {}
+    id_of_name = {} if raw_name_of is not None else None
+    dense = 1
+    for rid in range(1, len(raw_counts)):
+        if raw_counts[rid] != 0:
+            dense_of[rid] = dense
+            content_of[dense] = raw_content_of[rid]
+            if raw_name_of is not None:
+                id_of_name[raw_name_of[rid]] = dense
+            dense += 1
+    return dense_of, content_of, id_of_name
 
 
 def read_behaviors(behaviors_path: str,
@@ -123,70 +171,43 @@ def read_behaviors(behaviors_path: str,
     - pop_prob = train_counts^1.0 normalized over ids 1..item_num, sentinel
       pop[0] = 1 so log(pop[0]) = 0 for padding
     """
-    before_item_num = len(before_item_name_to_id)
-    before_item_counts = np.zeros(before_item_num + 1, dtype=np.int64)
-    user_seq_dic = {}
-    pairs_num = 0
-    with open(behaviors_path, "r") as f:
-        for line in f:
-            splited = line.strip("\n").split("\t")
-            user_name = splited[0]
-            history_item_name = splited[1].split(" ")
-            if len(history_item_name) < min_seq_len:
-                continue
-            history_item_name = history_item_name[-(max_seq_len + 3):]
-            item_ids_sub_seq = [before_item_name_to_id[i] for i in history_item_name]
-            user_seq_dic[user_name] = item_ids_sub_seq
-            for item_id in item_ids_sub_seq:
-                before_item_counts[item_id] += 1
-                pairs_num += 1
+    raw_seqs, raw_counts, n_pairs = _read_user_sequences(
+        behaviors_path, before_item_name_to_id, min_seq_len, max_seq_len)
     if log:
-        log.info("##### pairs_num {}".format(pairs_num))
+        log.info("##### pairs_num {}".format(n_pairs))
 
-    item_id = 1
-    item_id_to_dic = {}
-    item_name_to_id = {}
-    item_id_before_to_now = {}
-    for before_item_id in range(1, before_item_num + 1):
-        if before_item_counts[before_item_id] != 0:
-            item_id_before_to_now[before_item_id] = item_id
-            item_id_to_dic[item_id] = before_item_id_to_dic[before_item_id]
-            item_name_to_id[before_item_id_to_name[before_item_id]] = item_id
-            item_id += 1
-    item_num = len(item_id_before_to_now)
+    dense_of, content_of, id_of_name = _densify_items(
+        raw_counts, before_item_id_to_dic, before_item_id_to_name)
+    item_num = len(dense_of)
 
     users_train, users_valid, users_test = {}, {}, {}
     users_history_for_valid, users_history_for_test = {}, {}
     train_item_counts = np.zeros(item_num + 1, dtype=np.int64)
-    user_id = 0
-    for user_name, item_seqs in user_seq_dic.items():
-        user_seq = [item_id_before_to_now[i] for i in item_seqs]
-        train = user_seq[:-2]
-        valid = user_seq[-(max_seq_len + 2):-1]
-        test = user_seq[-(max_seq_len + 1):]
-        users_train[user_id] = train
-        users_valid[user_id] = valid
-        users_test[user_id] = test
+    for uid, raw_seq in enumerate(raw_seqs.values()):
+        seq = [dense_of[rid] for rid in raw_seq]
+        train = seq[:-2]
+        users_train[uid] = train
+        users_valid[uid] = seq[-(max_seq_len + 2):-1]
+        users_test[uid] = seq[-(max_seq_len + 1):]
         for i in train:
             train_item_counts[i] += 1
-        users_history_for_valid[user_id] = np.asarray(train, dtype=np.int64)
-        users_history_for_test[user_id] = np.asarray(user_seq[:-1], dtype=np.int64)
-        user_id += 1
+        users_history_for_valid[uid] = np.asarray(train, dtype=np.int64)
+        users_history_for_test[uid] = np.asarray(seq[:-1], dtype=np.int64)
 
-    item_counts_powered = np.power(train_item_counts.astype(np.float64), 1.0)
-    pop_body = item_counts_powered[1:item_num + 1]
+    # popularity^1.0 over dense ids 1..item_num, index-0 sentinel = 1.0
+    pop_body = np.power(train_item_counts.astype(np.float64), 1.0)[1:item_num + 1]
     pop_body = pop_body / pop_body.sum()
     pop_prob_list = np.concatenate([[1.0], pop_body]).astype(np.float64)
 
     return BehaviorData(
         item_num=item_num,
-        item_id_to_dic=item_id_to_dic,
+        item_id_to_dic=content_of,
         users_train=users_train,
         users_valid=users_valid,
         users_test=users_test,
         users_history_for_valid=users_history_for_valid,
         users_history_for_test=users_history_for_test,
-        item_name_to_id=item_name_to_id,
+        item_name_to_id=id_of_name,
         pop_prob_list=pop_prob_list,
     )
 
@@ -213,54 +234,32 @@ def read_behaviors_pairs(behaviors_path: str,
                          max_seq_len: int,
                          log=None) -> PairBehaviorData:
     """DSSM variant: (user, item) interaction pairs; users ided from 1."""
-    before_item_num = len(before_item_name_to_id)
-    before_item_counts = np.zeros(before_item_num + 1, dtype=np.int64)
-    user_seq_dic = {}
-    with open(behaviors_path, "r") as f:
-        for line in f:
-            splited = line.strip("\n").split("\t")
-            user_name = splited[0]
-            history_item_name = splited[1].split(" ")
-            if len(history_item_name) < min_seq_len:
-                continue
-            history_item_name = history_item_name[-(max_seq_len + 3):]
-            item_ids_sub_seq = [before_item_name_to_id[i] for i in history_item_name]
-            user_seq_dic[user_name] = item_ids_sub_seq
-            for item_id in item_ids_sub_seq:
-                before_item_counts[item_id] += 1
+    raw_seqs, raw_counts, _ = _read_user_sequences(
+        behaviors_path, before_item_name_to_id, min_seq_len, max_seq_len)
 
-    item_id = 1
-    item_id_to_content = {}
-    item_id_before_to_now = {}
-    for before_item_id in range(1, before_item_num + 1):
-        if before_item_counts[before_item_id] != 0:
-            item_id_before_to_now[before_item_id] = item_id
-            item_id_to_content[item_id] = before_item_id_to_dic[before_item_id]
-            item_id += 1
-    item_num = len(item_id_before_to_now)
+    dense_of, content_of, _ = _densify_items(raw_counts, before_item_id_to_dic)
+    item_num = len(dense_of)
 
     users_train, users_valid = {}, {}
     users_history_for_valid, users_history_for_test = {}, {}
     train_pairs, valid_pairs, test_pairs = [], [], []
-    user_id = 1
-    for user_name, item_seqs in user_seq_dic.items():
-        user_seq = [item_id_before_to_now[i] for i in item_seqs]
-        train = user_seq[:-2]
-        valid = user_seq[:-1]
-        users_train[user_id] = train
-        users_valid[user_id] = valid
-        users_history_for_valid[user_id] = np.asarray(train, dtype=np.int64)
-        users_history_for_test[user_id] = np.asarray(valid, dtype=np.int64)
+    for uid, raw_seq in enumerate(raw_seqs.values(), start=1):
+        seq = [dense_of[rid] for rid in raw_seq]
+        train = seq[:-2]
+        valid = seq[:-1]
+        users_train[uid] = train
+        users_valid[uid] = valid
+        users_history_for_valid[uid] = np.asarray(train, dtype=np.int64)
+        users_history_for_test[uid] = np.asarray(valid, dtype=np.int64)
         for i in train:
-            train_pairs.append((user_id, i))
-        valid_pairs.append((user_id, valid[-1]))
-        test_pairs.append((user_id, user_seq[-1]))
-        user_id += 1
+            train_pairs.append((uid, i))
+        valid_pairs.append((uid, valid[-1]))
+        test_pairs.append((uid, seq[-1]))
 
     return PairBehaviorData(
-        user_num=len(user_seq_dic),
+        user_num=len(raw_seqs),
         item_num=item_num,
-        item_id_to_content=item_id_to_content,
+        item_id_to_content=content_of,
         users_train=users_train,
         users_valid=users_valid,
         train_pairs=np.asarray(train_pairs, dtype=np.int64),

@@ -8,8 +8,10 @@ Reference (data_utils/utils.py:107-114, run.py:130-145):
 
 TPU edition: one msgpack file `epoch-{N}.ckpt` holding
 {params, opt_state, dropout_rng (the JAX PRNG key = the rng_state slot),
- np_rng (host sampler state), epoch, best}. bf16 has no GradScaler; the
-'scaler_state' slot is kept as an empty dict for format compatibility.
+ step, epoch, extra}. No host sampler state is stored: batchers are
+purely (seed, epoch)-keyed, so resuming at epoch N regenerates the exact
+data order deterministically. bf16 has no GradScaler; the 'scaler_state'
+slot is kept as an empty dict for format compatibility.
 """
 
 from __future__ import annotations

@@ -302,14 +302,25 @@ class Trainer:
                 merged = dict(params[coll]["encoder"]["net"])
                 merged.update(sub)
                 params[coll]["encoder"]["net"] = merged
-        self.n_total = sum(int(x.size) for x in jax.tree.leaves(params))
+        # Parameter audit in torch named_parameters() terms: count the
+        # 'params' collection only (batch_stats are buffers, not parameters),
+        # and trainable excludes the frozen encoder leaves — reference
+        # data_utils/utils.py:92-96 logs both numbers.
+        self.n_total = sum(int(x.size)
+                           for x in jax.tree.leaves(params["params"]))
 
         labels = None
+        self.n_trainable = self.n_total
         if cfg.use_modal and cfg.stage == "end2end":
             # frozen paths are relative to the 'params' collection
             frozen = self.encoder_bundle[2] if self.encoder_bundle else set()
             labels = param_labels(params["params"], default_encoder_predicate,
                                   frozen)
+            from .state import FROZEN_LABEL
+            n_frozen = sum(jax.tree.leaves(jax.tree.map(
+                lambda lbl, x: int(x.size) if lbl == FROZEN_LABEL else 0,
+                labels, params["params"])))
+            self.n_trainable = self.n_total - n_frozen
         self.tx = make_optimizer(cfg, labels)
         if cfg.accumulation_step > 1:
             # real gradient accumulation (the reference declares the flag but
@@ -420,7 +431,7 @@ class Trainer:
             self.log.info(f"Model loaded from {ckpt_path}")
 
         steps_for_log, _ = para_and_log(
-            self.n_total, self.n_total, self.batcher.n,
+            self.n_total, self.n_trainable, self.batcher.n,
             cfg.batch_size * self.n_shards, self.log,
             cfg.logging_num, cfg.testing_num)
 

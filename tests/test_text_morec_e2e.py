@@ -92,6 +92,14 @@ def test_text_morec_end2end(tmp_path, bert_dir):
     assert tr.item_content is not None and tr.item_content.shape[1] == 16  # 2*8
     tr.build_model()
 
+    # freeze audit (reference data_utils/utils.py:92-96): trainable excludes
+    # exactly the frozen encoder leaves
+    n_frozen_expect = sum(
+        int(np.asarray(_leaf(tr.state.params, ("params",) + p)).size)
+        for p in frozen)
+    assert tr.n_trainable == tr.n_total - n_frozen_expect
+    assert 0 < tr.n_trainable < tr.n_total
+
     # grafted weights present: word embedding matches the torch checkpoint
     sd = torch.load(os.path.join(bert_dir, "pytorch_model.bin"),
                     map_location="cpu", weights_only=True)

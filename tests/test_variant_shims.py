@@ -39,3 +39,12 @@ def test_shim_flags_build_valid_config(path):
     assert cfg.loss in ("inbatch_ce", "bce")
     if "test_" in os.path.basename(path):
         assert cfg.mode == "test" and "epoch-" in cfg.load_ckpt_name
+
+
+def test_early_stop_gap_auto_per_modality():
+    # reference: text run.py uses gap 10; vision run.py:185-188 uses gap 6
+    assert Config(modality="text").early_stop_gap == 10
+    assert Config(modality="vision", item_tower="modal").early_stop_gap == 6
+    # explicit value wins over the auto default
+    assert Config(modality="vision", item_tower="modal",
+                  early_stop_gap=3).early_stop_gap == 3

@@ -79,6 +79,8 @@ class Config:
     transformer_block: int = 2
     dnn_layers: int = 0             # DSSM MLP depth / two-stage MLP depth
     pretrained_models_dir: str = "pretrained_models"
+    text_pooling: str = ""          # '' = reference default (cls for BERT,
+                                    # mean for OPT); 'cls'|'mean' to override
 
     # ---- eval / logging / ckpt ----
     load_ckpt_name: str = "None"
@@ -94,6 +96,13 @@ class Config:
 
     # ---- TPU-native knobs (no reference equivalent) ----
     data_axis: int = 0                  # 0 = all devices on the data axis
+    # Multi-host data parallelism (SURVEY §2b row 1): --distributed true runs
+    # jax.distributed.initialize() before building the mesh. The coordinator/
+    # process flags are optional (auto-detected on TPU pods).
+    distributed: bool = False
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
     gather_negatives: bool = False      # all-gather in-batch negatives across DP
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"

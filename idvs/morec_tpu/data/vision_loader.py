@@ -53,18 +53,27 @@ class VisionBatchPipe:
 
 class Prefetcher:
     """Wraps a batch iterator; materializes batches one step ahead on a
-    worker thread (the native transform releases the GIL)."""
+    worker thread (the native transform releases the GIL).
+
+    This is the double-buffered host pipeline replacing the reference's
+    12 DataLoader workers (inbatch_sasrec_e2e_vision/data_utils/
+    dataset.py:78-99): image fetch + resize (and --dedup_items unique-packing)
+    for step N+1 overlap the device running step N. Worker exceptions are
+    re-raised in the consuming thread."""
 
     def __init__(self, it: Iterable, fn: Callable, depth: int = 2):
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
-        self._sentinel = object()
+        self._done = object()
+        self._err = None
 
         def work():
             try:
                 for raw in it:
                     self._q.put(fn(raw))
+            except BaseException as e:   # propagate to the consumer
+                self._err = e
             finally:
-                self._q.put(self._sentinel)
+                self._q.put(self._done)
 
         self._t = threading.Thread(target=work, daemon=True)
         self._t.start()
@@ -72,6 +81,8 @@ class Prefetcher:
     def __iter__(self):
         while True:
             item = self._q.get()
-            if item is self._sentinel:
+            if item is self._done:
+                if self._err is not None:
+                    raise self._err
                 return
             yield item

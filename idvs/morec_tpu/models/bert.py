@@ -20,6 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .layers import ProjParams
+
 
 @dataclasses.dataclass(frozen=True)
 class BertConfig:
@@ -36,6 +38,11 @@ class BertConfig:
     pad_token_id: int = 0
     position_offset: int = 0   # RoBERTa: pad_token_id + 1 = 2
     is_roberta: bool = False
+    # None = auto: use the fused Pallas attention kernel on TPU backends
+    # (ops/pallas/attention.py), the plain XLA composition elsewhere. The
+    # kernel keeps Q/K/V in natural (B, T, 3H) layout — no head-transpose
+    # copies and no transposed-layout contagion into the residual stream.
+    fused_attention: bool = None
 
     @classmethod
     def from_hf(cls, hf_cfg) -> "BertConfig":
@@ -61,14 +68,38 @@ class BertSelfAttention(nn.Module):
     cfg: BertConfig
 
     @nn.compact
-    def __call__(self, hidden, att_bias, deterministic: bool = True):
+    def __call__(self, hidden, attention_mask, deterministic: bool = True):
         c = self.cfg
         B, T, H = hidden.shape
         nh = c.num_attention_heads
         dh = H // nh
-        q = nn.Dense(H, name="query")(hidden).reshape(B, T, nh, dh)
-        k = nn.Dense(H, name="key")(hidden).reshape(B, T, nh, dh)
-        v = nn.Dense(H, name="value")(hidden).reshape(B, T, nh, dh)
+        # fused QKV: one (H, 3H) matmul; weight concat is 3*H*H elements,
+        # negligible next to the (B*T, H, 3H) projection it feeds
+        kq, bq = ProjParams(H, H, name="query")()
+        kk, bk = ProjParams(H, H, name="key")()
+        kv, bv = ProjParams(H, H, name="value")()
+        w = jnp.concatenate([kq, kk, kv], axis=1).astype(hidden.dtype)
+        b = jnp.concatenate([bq, bk, bv]).astype(hidden.dtype)
+        qkv = _fence(jnp.dot(hidden, w) + b)
+
+        use_fused = c.fused_attention
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+        p_drop = c.attention_probs_dropout_prob
+        if use_fused:
+            from ..ops.pallas.attention import fused_mha
+            rng = (self.make_rng("dropout")
+                   if (not deterministic and p_drop > 0.0) else None)
+            return fused_mha(qkv, attention_mask, n_heads=nh,
+                             drop_rate=(0.0 if deterministic else p_drop),
+                             dropout_rng=rng)
+
+        # additive mask: 0 keep, big-negative drop (HF uses (1-mask)*min_dtype;
+        # -1e9 is equivalent under softmax)
+        att_bias = ((1.0 - attention_mask.astype(jnp.float32))
+                    [:, None, None, :] * -1e9)
+        q, k, v = [t.reshape(B, T, nh, dh)
+                   for t in jnp.split(qkv, 3, axis=-1)]
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                           preferred_element_type=jnp.float32) / (dh ** 0.5)
         attn = attn + att_bias
@@ -79,25 +110,38 @@ class BertSelfAttention(nn.Module):
         return out
 
 
+# Fusion fences (numerical identity). XLA eagerly fuses LayerNorm statistics,
+# dropout-mask regeneration, and GELU recompute into the adjacent matmuls as
+# prologues/epilogues; on v5e that forces transpose-reuse convolution emitters
+# that run the K=B*S*T dW contractions and the FFN fwd dots at 23-45 TFLOPS
+# instead of ~120-130 (measured, BERT-small geometry — see PARITY.md). A
+# barrier on a matmul's output (and on each LN's input) keeps the dots pure;
+# the split elementwise passes cost ~0.25 ms of HBM bandwidth each, a 3-5x
+# win on the dots they free. Barriers transpose to barriers, so the backward
+# dW/dx dots are fenced at the same cuts.
+_fence = jax.lax.optimization_barrier
+
+
 class BertLayer(nn.Module):
     cfg: BertConfig
 
     @nn.compact
-    def __call__(self, hidden, att_bias, deterministic: bool = True):
+    def __call__(self, hidden, attention_mask, deterministic: bool = True):
         c = self.cfg
         attn_out = BertSelfAttention(c, name="attention_self")(
-            hidden, att_bias, deterministic)
-        attn_out = nn.Dense(c.hidden_size, name="attention_output")(attn_out)
+            hidden, attention_mask, deterministic)
+        attn_out = _fence(nn.Dense(c.hidden_size,
+                                   name="attention_output")(attn_out))
         attn_out = nn.Dropout(c.hidden_dropout_prob,
                               deterministic=deterministic)(attn_out)
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
-                              name="attention_ln")(hidden + attn_out)
+                              name="attention_ln")(_fence(hidden + attn_out))
         inter = nn.Dense(c.intermediate_size, name="intermediate")(hidden)
         inter = nn.gelu(inter, approximate=False)
-        out = nn.Dense(c.hidden_size, name="output")(inter)
+        out = _fence(nn.Dense(c.hidden_size, name="output")(inter))
         out = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(out)
         return nn.LayerNorm(epsilon=c.layer_norm_eps,
-                            name="output_ln")(hidden + out)
+                            name="output_ln")(_fence(hidden + out))
 
 
 class BertModel(nn.Module):
@@ -125,9 +169,7 @@ class BertModel(nn.Module):
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="embeddings_ln")(h)
         h = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(h)
 
-        # additive mask (B, 1, 1, T): 0 keep, big-negative drop (HF uses
-        # (1-mask)*min_dtype; -1e9 is equivalent under softmax)
-        att_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
         for i in range(c.num_hidden_layers):
-            h = BertLayer(c, name=f"layer_{i}")(h, att_bias, deterministic)
+            h = BertLayer(c, name=f"layer_{i}")(h, attention_mask,
+                                                deterministic)
         return h

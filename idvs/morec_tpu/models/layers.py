@@ -18,6 +18,30 @@ xavier_normal = nn.initializers.xavier_normal()
 zeros_init = nn.initializers.zeros
 
 
+class ProjParams(nn.Module):
+    """One projection's (kernel, bias) WITHOUT applying it.
+
+    Keeps the param tree identical to nn.Dense (<name>/kernel, <name>/bias)
+    so weight converters are unchanged, while letting the caller fuse several
+    projections (Q/K/V) into ONE matmul. On v5e a (M,512)x(512,1536) dot runs
+    at ~94 TFLOPS vs ~48 for three 512x512 dots — N=512 underfills the MXU
+    pipeline. bias is None when use_bias=False (matches Dense(use_bias=False)).
+    """
+    in_features: int
+    features: int
+    use_bias: bool = True
+    kernel_init: object = nn.initializers.lecun_normal()
+    bias_init: object = zeros_init
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init,
+                       (self.in_features, self.features))
+        b = (self.param("bias", self.bias_init, (self.features,))
+             if self.use_bias else None)
+        return k, b
+
+
 class MLPLayers(nn.Module):
     """[Dropout -> Dense -> GELU] x len(layers)-1.
 

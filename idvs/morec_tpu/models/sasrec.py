@@ -23,8 +23,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import xavier_normal, zeros_init
+from .layers import ProjParams, xavier_normal, zeros_init
 from ..ops.masking import causal_additive_mask
+
+# fusion fence — keeps LN stats / dropout-mask bwd out of the dot emitters
+# (numerical identity; rationale in models/bert.py)
+_fence = jax.lax.optimization_barrier
 
 
 class MultiHeadSelfAttention(nn.Module):
@@ -37,11 +41,16 @@ class MultiHeadSelfAttention(nn.Module):
         B, L, D = x.shape
         H = self.n_heads
         dk = self.d_model // H
-        dense = lambda name: nn.Dense(self.d_model, use_bias=False,
-                                      kernel_init=xavier_normal, name=name)
-        q = dense("w_Q")(x).reshape(B, L, H, dk).transpose(0, 2, 1, 3)
-        k = dense("w_K")(x).reshape(B, L, H, dk).transpose(0, 2, 1, 3)
-        v = dense("w_V")(x).reshape(B, L, H, dk).transpose(0, 2, 1, 3)
+        # fused QKV (see layers.ProjParams): param tree unchanged, one matmul
+        proj = lambda name: ProjParams(D, self.d_model, use_bias=False,
+                                       kernel_init=xavier_normal, name=name)
+        kq, _ = proj("w_Q")()
+        kk, _ = proj("w_K")()
+        kv, _ = proj("w_V")()
+        w = jnp.concatenate([kq, kk, kv], axis=1).astype(x.dtype)
+        qkv = _fence(jnp.dot(x, w))
+        q, k, v = [t.reshape(B, L, H, dk).transpose(0, 2, 1, 3)
+                   for t in jnp.split(qkv, 3, axis=-1)]
 
         attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                           preferred_element_type=jnp.float32) / (dk ** 0.5)
@@ -50,7 +59,8 @@ class MultiHeadSelfAttention(nn.Module):
         p = nn.Dropout(self.drop_rate, deterministic=deterministic)(p)
         out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, self.d_model)
-        out = dense("fc")(out)
+        out = _fence(nn.Dense(self.d_model, use_bias=False,
+                              kernel_init=xavier_normal, name="fc")(out))
         out = nn.Dropout(self.drop_rate, deterministic=deterministic)(out)
         return out
 
@@ -65,15 +75,15 @@ class TransformerBlock(nn.Module):
         # post-LN residual MHA (modules.py:52-63)
         h = MultiHeadSelfAttention(self.d_model, self.n_heads, self.drop_rate,
                                    name="mha")(x, att_mask, deterministic)
-        x = nn.LayerNorm(epsilon=1e-6, name="ln_attn")(x + h)
+        x = nn.LayerNorm(epsilon=1e-6, name="ln_attn")(_fence(x + h))
         # ReLU FFN, d_inner = 4*d (modules.py:5-17, 86)
         h = nn.Dense(4 * self.d_model, kernel_init=xavier_normal,
                      bias_init=zeros_init, name="w_1")(x)
-        h = nn.relu(h)
-        h = nn.Dense(self.d_model, kernel_init=xavier_normal,
-                     bias_init=zeros_init, name="w_2")(h)
+        h = _fence(nn.relu(h))
+        h = _fence(nn.Dense(self.d_model, kernel_init=xavier_normal,
+                            bias_init=zeros_init, name="w_2")(h))
         h = nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
-        return nn.LayerNorm(epsilon=1e-6, name="ln_ffn")(x + h)
+        return nn.LayerNorm(epsilon=1e-6, name="ln_ffn")(_fence(x + h))
 
 
 class SASRecEncoder(nn.Module):

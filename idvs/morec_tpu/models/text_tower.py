@@ -117,6 +117,10 @@ def build_text_tower(cfg):
                     ("body", cfg.num_words_body)):
         if attr in cfg.news_attributes:
             attr_lengths.append(n)
+    if getattr(cfg, "text_pooling", ""):
+        # explicit override (reference default: CLS for BERT/RoBERTa, masked
+        # mean for OPT — encoders.py:41-50,63-70)
+        pooling = cfg.text_pooling
     tower = TextTower(net=net, embedding_dim=cfg.embedding_dim,
                       word_embedding_dim=word_dim, pooling=pooling,
                       attr_lengths=tuple(attr_lengths),

@@ -1,0 +1,224 @@
+"""Fused multi-head self-attention Pallas kernel for short sequences.
+
+Why: XLA's attention lowering needs (batch, head)-major layouts for the
+batched (T,T) score matmuls, so it transposes Q/K/V around every attention
+call AND propagates the transposed {seq-major} layout into the whole
+residual stream — on v5e the BERT-small encoder step spends ~20% in pure
+layout copies and mixed-layout elementwise fusions (trace analysis in
+PARITY.md). This kernel consumes the QKV projection's NATURAL (B, T, 3H)
+output, does the head split / (T,T) softmax dance entirely in VMEM, and
+writes the context back in (B, T, H) — no HBM layout changes anywhere.
+
+Scope: encoder-style bidirectional attention with a key-validity mask
+(BERT/RoBERTa semantics: bias = (1-mask)*-1e9 on keys, reference
+model/encoders.py pools over HF BERT), sequence lengths ~8..128 where the
+whole (T, T) score tile fits VMEM — no KV tiling needed (flash-attention's
+streaming is for long T; MoRec titles are T=30).
+
+Exact math parity with the XLA path (models/bert.py BertSelfAttention):
+scores = (q·k)/sqrt(dh) f32 + bias, softmax f32, probs cast to input dtype,
+attention-prob dropout (train), ctx = probs·v with f32 accumulation.
+Dropout uses the TPU PRNG seeded from the flax dropout key, so draws differ
+from flax's threefry BITS but have identical Bernoulli semantics; backward
+regenerates the same mask (flash-style, nothing stored but qkv).
+
+Backward is a custom VJP: recompute scores/probs per head, then
+  dv = dropped_probsᵀ·dctx, dprobs = dctx·vᵀ (un-dropped),
+  dscores = probs*(dprobs - Σ probs*dprobs), dq = dscores·k, dk = dscoresᵀ·q
+all in f32, packed straight into the (B, T, 3H) cotangent — the dW_qkv and
+dx matmuls downstream see natural layouts too.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def _pick_block(B: int) -> int:
+    # Mosaic wants the mask block's second-to-last dim (NB) divisible by 8;
+    # the wrapper pads B up to a multiple of the chosen block. NB=16 keeps
+    # the backward kernel's double-buffered blocks (qkv + dout + dqkv at
+    # 3H wide) under the 16 MB VMEM budget at H=512/T=30.
+    for nb in (16, 8):
+        if B % nb == 0:
+            return nb
+    return 8
+
+
+def _dropout_keep(shape, p):
+    """Bernoulli keep-mask from the already-seeded kernel PRNG."""
+    bits = pltpu.prng_random_bits(shape)
+    thresh = jnp.uint32(min(int(p * (2.0 ** 32)), 2 ** 32 - 1))
+    return pltpu.bitcast(bits, jnp.uint32) >= thresh
+
+
+def _fwd_kernel(seed_ref, qkv_ref, mask_ref, out_ref, *, nh, dh, p):
+    H = nh * dh
+    scale = 1.0 / math.sqrt(dh)
+    if p > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    bias = (1.0 - mask_ref[:].astype(jnp.float32)) * NEG      # (NB, T)
+    for h in range(nh):
+        q = qkv_ref[:, :, h * dh:(h + 1) * dh]
+        k = qkv_ref[:, :, H + h * dh:H + (h + 1) * dh]
+        v = qkv_ref[:, :, 2 * H + h * dh:2 * H + (h + 1) * dh]
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale        # (NB, T, T)
+        scores = scores + bias[:, None, :]
+        probs = jax.nn.softmax(scores, axis=-1).astype(qkv_ref.dtype)
+        if p > 0.0:
+            keep = _dropout_keep(probs.shape, p)
+            probs = jnp.where(keep, probs / (1.0 - p),
+                              jnp.zeros_like(probs))
+        ctx = jax.lax.dot_general(
+            probs, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                # (NB, T, dh)
+        out_ref[:, :, h * dh:(h + 1) * dh] = ctx.astype(out_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *, nh, dh, p):
+    H = nh * dh
+    scale = 1.0 / math.sqrt(dh)
+    if p > 0.0:
+        # same seed, same per-head generation order => same masks as forward
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    bias = (1.0 - mask_ref[:].astype(jnp.float32)) * NEG
+    for h in range(nh):
+        q = qkv_ref[:, :, h * dh:(h + 1) * dh]
+        k = qkv_ref[:, :, H + h * dh:H + (h + 1) * dh]
+        v = qkv_ref[:, :, 2 * H + h * dh:2 * H + (h + 1) * dh]
+        dctx = dout_ref[:, :, h * dh:(h + 1) * dh]
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        scores = scores + bias[:, None, :]
+        probs = jax.nn.softmax(scores, axis=-1)                # f32
+        probs_c = probs.astype(qkv_ref.dtype)                  # fwd's cast
+        if p > 0.0:
+            keep = _dropout_keep(probs_c.shape, p)
+            inv = 1.0 / (1.0 - p)
+            dropped = jnp.where(keep, probs_c * inv,
+                                jnp.zeros_like(probs_c))
+        else:
+            dropped = probs_c
+        # dv = droppedᵀ · dctx    (contract over queries)
+        dv = jax.lax.dot_general(
+            dropped, dctx, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                # (NB, T, dh)
+        # dprobs (pre-dropout) = (dctx · vᵀ) * keep/(1-p)
+        dprobs = jax.lax.dot_general(
+            dctx, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                # (NB, T, T)
+        if p > 0.0:
+            dprobs = jnp.where(keep, dprobs * inv, jnp.zeros_like(dprobs))
+        # softmax backward in f32
+        dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                            keepdims=True))
+        dscores = (dscores * scale).astype(qkv_ref.dtype)
+        dq = jax.lax.dot_general(
+            dscores, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                # (NB, T, dh)
+        dk = jax.lax.dot_general(
+            dscores, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dqkv_ref[:, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, H + h * dh:H + (h + 1) * dh] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * H + h * dh:2 * H + (h + 1) * dh] = \
+            dv.astype(dqkv_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _build(nh: int, p: float, interpret: bool):
+    def fwd_call(qkv, mask, seed):
+        B, T, H3 = qkv.shape
+        dh = H3 // 3 // nh
+        NB = _pick_block(B)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, nh=nh, dh=dh, p=p),
+            grid=(B // NB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((NB, T, H3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, T), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((NB, T, H3 // 3), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, T, H3 // 3), qkv.dtype),
+            interpret=interpret,
+        )(seed, qkv, mask)
+
+    def bwd_call(qkv, mask, seed, dout):
+        B, T, H3 = qkv.shape
+        dh = H3 // 3 // nh
+        NB = _pick_block(B)
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, nh=nh, dh=dh, p=p),
+            grid=(B // NB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((NB, T, H3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, T), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, T, H3 // 3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((NB, T, H3), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, T, H3), qkv.dtype),
+            interpret=interpret,
+        )(seed, qkv, mask, dout)
+
+    @jax.custom_vjp
+    def mha(qkv, mask, seed):
+        return fwd_call(qkv, mask, seed)
+
+    def mha_fwd(qkv, mask, seed):
+        return fwd_call(qkv, mask, seed), (qkv, mask, seed)
+
+    def mha_bwd(res, dout):
+        qkv, mask, seed = res
+        return bwd_call(qkv, mask, seed, dout), None, None
+
+    mha.defvjp(mha_fwd, mha_bwd)
+    return mha
+
+
+def fused_mha(qkv: jnp.ndarray, mask: jnp.ndarray, *, n_heads: int,
+              drop_rate: float = 0.0, dropout_rng=None,
+              interpret: bool = None) -> jnp.ndarray:
+    """(B, T, 3H) packed QKV + (B, T) key-validity mask -> (B, T, H) context.
+
+    drop_rate > 0 needs dropout_rng (a jax PRNG key); the kernel PRNG is
+    seeded from it so runs are deterministic given the key.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if drop_rate > 0.0 and dropout_rng is not None:
+        seed = jax.random.randint(dropout_rng, (1,), 0, 2 ** 31 - 1,
+                                  dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+        drop_rate = 0.0
+    B = qkv.shape[0]
+    NB = _pick_block(B)
+    pad = (-B) % NB
+    mask = mask.astype(qkv.dtype)
+    if pad:
+        # pad to a whole number of blocks; padded rows are fully masked
+        # (all-masked rows are finite — uniform softmax — and sliced off)
+        qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+    out = _build(n_heads, float(drop_rate), bool(interpret))(qkv, mask, seed)
+    return out[:B] if pad else out

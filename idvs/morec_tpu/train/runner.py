@@ -15,6 +15,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from typing import Any, Dict, Optional
@@ -30,7 +31,7 @@ from ..data.preprocess import (BehaviorData, build_doc_matrix, read_behaviors,
                                read_behaviors_pairs, read_items_text,
                                read_items_tokenized)
 from ..models.model import make_model
-from ..parallel.mesh import make_mesh, replicate
+from ..parallel.mesh import is_coordinator, make_mesh, replicate
 from ..utils.logging import (para_and_log, print_metrics,
                              report_time_eval, report_time_train, setuplogger)
 from .checkpoint import (epoch_from_name, get_checkpoint, load_checkpoint,
@@ -90,6 +91,10 @@ class Trainer:
             log_file, log_screen = setuplogger(
                 cfg.dir_label(), cfg.log_paras(self.n_shards), time_run,
                 cfg.mode, cfg.behaviors)
+            if not is_coordinator():
+                # reference rank gating: non-rank-0 loggers log WARN+ only
+                log_file.setLevel(logging.WARNING)
+                log_screen.setLevel(logging.WARNING)
         self.log = log_file
         self.log_screen = log_screen or log_file
         self.encoder_bundle = encoder_bundle   # (module, enc_params, freeze_paths, word_dim) or None
@@ -443,10 +448,16 @@ class Trainer:
             now_epoch = start_epoch + ep + 1
             self.log.info(f"epoch {now_epoch} start")
             loss_sum, batch_index = 0.0, 1
-            for raw in self.batcher.epoch(now_epoch):
+            # Double-buffered host pipeline: image fetch/transform and dedup
+            # packing for the NEXT batch run on a worker thread while the
+            # device executes the current step (replaces the reference's
+            # 12-worker DataLoader, dataset.py:78-99).
+            from ..data.vision_loader import Prefetcher
+            for batch in Prefetcher(self.batcher.epoch(now_epoch),
+                                    self.make_batch):
                 if cfg.profile_dir and ep == 0 and batch_index == 10:
                     jax.profiler.start_trace(cfg.profile_dir)
-                self.state, loss = self.train_step(self.state, self.make_batch(raw))
+                self.state, loss = self.train_step(self.state, batch)
                 if cfg.profile_dir and ep == 0 and batch_index == 20:
                     jax.block_until_ready(loss)
                     jax.profiler.stop_trace()
@@ -477,8 +488,9 @@ class Trainer:
                 if hit > max_eval_value:
                     max_eval_value, max_epoch = hit, now_epoch
                     early_stop_count = 0
-                    save_checkpoint(self.model_dir, now_epoch, self.state,
-                                    {"best": max_eval_value}, self.log)
+                    if is_coordinator():   # rank-0-only saves (run.py:265-267)
+                        save_checkpoint(self.model_dir, now_epoch, self.state,
+                                        {"best": max_eval_value}, self.log)
                 else:
                     early_stop_count += 1
                     if early_stop_count > cfg.early_stop_gap:
@@ -581,6 +593,11 @@ class Trainer:
 
 
 def run(cfg: Config):
+    if cfg.distributed:
+        # multi-host DP: must run before the first jax.devices() call so the
+        # mesh sees the whole cluster (SURVEY §2b row 1)
+        from ..parallel.mesh import init_distributed
+        init_distributed(cfg)
     trainer = Trainer(cfg)
     if cfg.use_modal and cfg.stage == "end2end":
         from ..models.encoders_zoo import load_encoder

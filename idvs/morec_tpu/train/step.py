@@ -186,6 +186,11 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
 
     def _update(state: TrainState, loss, grads, new_aux):
         trainable, _ = _split(state.params)
+        # Keep the optimizer out of the backward matmuls: without this
+        # barrier XLA fuses the AdamW update into the dW dots as an epilogue,
+        # forcing a transpose-reuse emitter that runs the K=B*S*T contraction
+        # at ~23 TFLOPS instead of ~120 (measured v5e, BERT-small geometry).
+        grads = jax.lax.optimization_barrier(grads)
         updates, opt_state = tx.update(grads, state.opt_state, trainable)
         trainable = jax.tree.map(lambda p, u: p + u, trainable, updates)
         return state.replace(step=state.step + 1,

@@ -1,0 +1,87 @@
+"""Fused Pallas MHA kernel (ops/pallas/attention.py) vs the XLA composition
+in models/bert.py — forward and custom-VJP backward, interpret mode on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from idvs.morec_tpu.ops.pallas.attention import fused_mha
+
+
+def xla_ref(qkv, mask, nh):
+    B, T, H3 = qkv.shape
+    H = H3 // 3
+    dh = H // nh
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, T, nh, dh)
+    k = k.reshape(B, T, nh, dh)
+    v = v.reshape(B, T, nh, dh)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                      preferred_element_type=jnp.float32) / (dh ** 0.5)
+    bias = (1.0 - mask.astype(jnp.float32))[:, None, None, :] * -1e9
+    p = jax.nn.softmax(attn + bias, axis=-1).astype(qkv.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, T, H)
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-6), (jnp.bfloat16, 2e-2)])
+@pytest.mark.parametrize("B,T,H,nh", [(8, 30, 64, 4), (6, 12, 48, 2)])
+def test_forward_matches_xla(B, T, H, nh, dtype, tol):
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.standard_normal((B, T, 3 * H)), dtype)
+    mask = jnp.asarray((rng.uniform(size=(B, T)) < 0.8).astype(np.float32))
+    out = fused_mha(qkv, mask, n_heads=nh, interpret=True)
+    ref = xla_ref(qkv, mask, nh)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_backward_matches_xla():
+    B, T, H, nh = 8, 30, 64, 4
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.standard_normal((B, T, 3 * H)), jnp.float32)
+    mask = jnp.asarray((rng.uniform(size=(B, T)) < 0.8).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+    g_pl = jax.grad(lambda x: jnp.sum(
+        fused_mha(x, mask, n_heads=nh, interpret=True) * g))(qkv)
+    g_x = jax.grad(lambda x: jnp.sum(xla_ref(x, mask, nh) * g))(qkv)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_x),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fully_masked_rows_are_finite():
+    """An all-pad sequence (mask all zero) must not produce NaNs — softmax
+    over uniform -1e9 bias degrades to uniform probs, like the XLA path."""
+    B, T, H, nh = 4, 10, 32, 2
+    rng = np.random.default_rng(2)
+    qkv = jnp.asarray(rng.standard_normal((B, T, 3 * H)), jnp.float32)
+    mask = jnp.zeros((B, T))
+    out = fused_mha(qkv, mask, n_heads=nh, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+    ref = xla_ref(qkv, mask, nh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bert_model_fused_flag_matches_xla():
+    """BertModel(fused_attention=True, interpret via CPU) == the XLA path."""
+    from idvs.morec_tpu.models.bert import BertConfig, BertModel
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, 50, size=(6, 12)).astype(np.int32)
+    att = (rng.uniform(size=ids.shape) < 0.8).astype(np.int32)
+    att[:, 0] = 1
+    common = dict(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                  num_attention_heads=2, intermediate_size=64,
+                  max_position_embeddings=32, hidden_dropout_prob=0.0,
+                  attention_probs_dropout_prob=0.0)
+    m_x = BertModel(BertConfig(fused_attention=False, **common))
+    m_p = BertModel(BertConfig(fused_attention=True, **common))
+    params = m_x.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                      jnp.asarray(att))
+    o_x = m_x.apply(params, jnp.asarray(ids), jnp.asarray(att))
+    o_p = m_p.apply(params, jnp.asarray(ids), jnp.asarray(att))
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x),
+                               rtol=2e-5, atol=2e-5)

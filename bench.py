@@ -28,6 +28,13 @@ utilization).
 
 BENCH_CONFIG=text_morec_uniform: uniform ids, no dedup (per-occurrence
 encoding like the reference). BENCH_CONFIG=idrec: the IDRec secondary.
+BENCH_CONFIG=vision_morec: Swin-tiny 224 + SASRec at the reference's HM
+end2end config (batch 64/chip, max_seq_len 10, embedding_dim 2048 —
+inbatch_sasrec_e2e_vision/train_swin_tiny.py:11-26); uint8 images are
+streamed per step (device-side normalize), encoder microbatched via
+--encoder_chunk to fit 16 GB HBM. Baseline: ~800 img/s Swin-tiny AMP
+training on A100 (typical published rate) / 11 images per sample = ~73
+samples/s/GPU, x3.
 """
 
 import json
@@ -40,10 +47,19 @@ BASELINE_SPS = {
     "text_morec": 3 * 550.0,          # 3x estimated A100 (see above)
     "text_morec_uniform": 3 * 550.0,
     "idrec": 75_000.0,                # 3x estimated A100 for the ID model
+    "vision_morec": 3 * 73.0,         # 3x estimated A100 Swin-tiny rate
 }
 
-ITEM_NUM, B, L, D = 100_000, 128, 20, 512
+# geometry per config: (item_num, batch/chip, max_seq_len, embedding_dim)
+GEOM = {
+    "text_morec": (100_000, 128, 20, 512),
+    "text_morec_uniform": (100_000, 128, 20, 512),
+    "idrec": (100_000, 128, 20, 512),
+    "vision_morec": (100_000, 64, 10, 2048),
+}
+ITEM_NUM, B, L, D = GEOM[os.environ.get("BENCH_CONFIG", "text_morec")]
 S = L + 1
+RESIZE = 224
 
 
 def _gen_raw(config: str, seed: int, GB: int):
@@ -56,6 +72,11 @@ def _gen_raw(config: str, seed: int, GB: int):
         ids = rng.integers(1, ITEM_NUM + 1, size=(GB, S)).astype(np.int32)
     lm = (rng.uniform(size=(GB, L)) < 0.9).astype(np.float32)
     lm[:, -1] = 1.0
+    if config == "vision_morec":
+        # the images the VisionBatchPipe would emit (uint8 NHWC; id 0 = zeros)
+        imgs = rng.integers(0, 256, size=(GB * S, RESIZE, RESIZE, 3),
+                            dtype=np.uint8)
+        return ids, lm, imgs
     return ids, lm
 
 
@@ -72,11 +93,17 @@ def _build(config: str):
     mesh = make_mesh(jax.devices())
     n_chips = int(mesh.devices.size)
     GB = B * n_chips
-    n_raw = 10
+    n_raw = 4 if config == "vision_morec" else 10   # 106 MB of images each
     raws = [_gen_raw(config, seed, GB) for seed in range(n_raw)]
 
     encoder = None
     item_content = None
+    if config == "vision_morec":
+        from idvs.morec_tpu.models.swin import SwinConfig, SwinModel
+        from idvs.morec_tpu.models.vision_tower import VisionTower
+        scfg = SwinConfig()   # swin-tiny
+        encoder = VisionTower(net=SwinModel(scfg), kind="swin",
+                              embedding_dim=D, feature_dim=scfg.num_features)
     if config.startswith("text_morec"):
         from idvs.morec_tpu.models.bert import BertConfig, BertModel
         from idvs.morec_tpu.models.text_tower import TextTower
@@ -97,19 +124,29 @@ def _build(config: str):
     if dedup:
         # static dedup capacity: covers every streamed batch (round up to the
         # lane multiple) so ONE compiled graph serves the whole run
-        max_uniq = max(len(np.unique(ids)) for ids, _ in raws)
+        max_uniq = max(len(np.unique(r[0])) for r in raws)
         cap = (max_uniq + 255) // 256 * 256
 
+    vision = config == "vision_morec"
     cfg = Config(item_tower="modal" if encoder else "id",
-                 modality="text", loss="inbatch_ce", max_seq_len=L,
+                 modality="vision" if vision else "text",
+                 loss="inbatch_ce", max_seq_len=L,
                  embedding_dim=D, batch_size=B, num_attention_heads=2,
-                 transformer_block=2, lr=1e-4, fine_tune_lr=5e-5,
-                 num_words_title=30, dedup_items=dedup, dedup_cap=cap)
+                 transformer_block=2, lr=1e-4,
+                 fine_tune_lr=1e-4 if vision else 5e-5,
+                 num_words_title=30, dedup_items=dedup, dedup_cap=cap,
+                 # microbatch the Swin encoder: B*S=704 images' activations
+                 # exceed 16 GB HBM; 4 remat'd chunks of 176 fit
+                 encoder_chunk=(B * S) // 4 if vision else 0)
     model = make_model(cfg, item_num=ITEM_NUM, encoder=encoder)
 
     ids0 = jnp.asarray(raws[0][0])
     lm0 = jnp.asarray(raws[0][1])
-    init_content = None if item_content is None else item_content[ids0[:2].reshape(-1)]
+    if vision:
+        init_content = jnp.asarray(raws[0][2][:2 * S])
+    else:
+        init_content = (None if item_content is None
+                        else item_content[ids0[:2].reshape(-1)])
     params = model.init(jax.random.PRNGKey(0), ids0[:2], init_content, lm0[:2])
     pop = np.full(ITEM_NUM + 1, 1.0 / ITEM_NUM); pop[0] = 1.0
     log_pop = jnp.asarray(np.log(pop), jnp.float32)
@@ -129,7 +166,7 @@ def _build(config: str):
         """Host work per step, identical to Trainer.make_batch: dedup
         unique-packing (np.unique) + H2D of ids/mask (+uniq/inverse)."""
         import jax.numpy as jnp
-        ids, lm = raw
+        ids, lm = raw[0], raw[1]
         batch = {}
         if dedup:
             flat = ids.reshape(-1)
@@ -139,8 +176,10 @@ def _build(config: str):
                 up[:len(uniq)] = uniq
                 batch["uniq_ids"] = jnp.asarray(up)
                 batch["inverse"] = jnp.asarray(inv.astype(np.int32))
-        sharded = shard_batch(mesh, {"ids": jnp.asarray(ids),
-                                     "log_mask": jnp.asarray(lm)})
+        dev = {"ids": jnp.asarray(ids), "log_mask": jnp.asarray(lm)}
+        if len(raw) > 2:   # vision: uint8 images for every item slot
+            dev["content"] = jnp.asarray(raw[2])
+        sharded = shard_batch(mesh, dev)
         return sharded | batch
 
     return step, state, pack, raws, GB, n_chips
@@ -167,7 +206,8 @@ def main():
         state, loss = step(state, batch0)
     jax.block_until_ready(loss)
 
-    iters = 10 if config == "text_morec" else 30
+    iters = {"text_morec": 10, "text_morec_uniform": 10,
+             "vision_morec": 6}.get(config, 30)
 
     # device-only: re-feed one resident batch
     t0 = time.perf_counter()
@@ -191,6 +231,7 @@ def main():
         "text_morec": "text_morec_bert_small_zipf_train_samples_per_sec_per_chip",
         "text_morec_uniform": "text_morec_bert_small_train_samples_per_sec_per_chip",
         "idrec": "idrec_inbatch_ce_train_samples_per_sec_per_chip",
+        "vision_morec": "vision_morec_swin_tiny_train_samples_per_sec_per_chip",
     }[config]
     print(json.dumps({
         "metric": name,

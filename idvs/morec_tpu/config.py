@@ -127,6 +127,13 @@ class Config:
     # Not compatible with BatchNorm towers (ResNet) in train mode; dropout
     # draws repeat per chunk.
     encoder_chunk: int = 0
+    # PRNG implementation for dropout masks inside the train step. 'rbg'
+    # (default) uses the TPU's hardware RngBitGenerator — measured 8% faster
+    # end-to-end than 'threefry' at the flagship geometry (threefry spends
+    # ~8 ms/step generating mask bits for B*S*T token rows; PARITY.md).
+    # Identical Bernoulli semantics and per-seed determinism; draws are
+    # backend-dependent (the reference's torch dropout draws differ too).
+    dropout_prng: str = "rbg"
     profile_dir: str = ""               # jax.profiler trace dir ('' = off)
 
     def __post_init__(self):

@@ -108,9 +108,19 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
             fwd = jax.checkpoint(fwd)
         return fwd(variables, flat_ids, content), aux
 
+    def _as_dropout_key(rng):
+        """Dropout key in the configured PRNG impl. The TrainState key (and
+        the checkpoint rng slot) stays a threefry key; the per-step rbg key
+        is derived from it, so resume determinism is untouched."""
+        if cfg.dropout_prng != "rbg":
+            return rng
+        data = jax.random.bits(rng, (4,), jnp.uint32)
+        return jax.random.wrap_key_data(data, impl="rbg")
+
     def local_loss(trainable, aux, batch, rng, gather: bool, axis):
         """Returns (loss, new_aux)."""
-        rngs = {"dropout": rng, "masking": jax.random.fold_in(rng, 13)}
+        rngs = {"dropout": _as_dropout_key(rng),
+                "masking": jax.random.fold_in(rng, 13)}
         mutable = "batch_stats" in aux
         trainable = _cast_compute(trainable)  # bf16 compute, f32 master
 

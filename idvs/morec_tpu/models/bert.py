@@ -216,6 +216,10 @@ class BertModel(nn.Module):
              + tok(jnp.zeros_like(input_ids)))
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="embeddings_ln")(h)
         h = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(h)
+        if _os.environ.get("IDVS_SG_EMB"):
+            # perf-experiment escape hatch: cut the embedding-table backward
+            # (isolates the vocab scatter-add cost in the ablation matrix)
+            h = jax.lax.stop_gradient(h)
 
         for i in range(c.num_hidden_layers):
             h = BertLayer(c, name=f"layer_{i}")(h, attention_mask,

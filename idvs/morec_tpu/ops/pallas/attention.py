@@ -60,29 +60,57 @@ def _dropout_keep(shape, p):
     return pltpu.bitcast(bits, jnp.uint32) >= thresh
 
 
+def _heads_per_tile(nh: int, dh: int) -> int:
+    """How many heads share one 128-lane tile group. For dh < 128 a
+    per-head (.., dh)-wide lane slice is NOT tile-aligned, and Mosaic
+    lowers it (and the matching sub-tile store) as a lane relayout — the
+    dominant cost of the naive kernel. Instead each 128-wide group of
+    heads is taken as an ALIGNED view and individual heads are selected by
+    multiplying with a constant lane mask: masked lanes contribute exactly
+    0 to the 128-lane contraction, so per-head dot semantics are exact and
+    every VMEM access stays tile-aligned."""
+    if dh >= 128 or 128 % dh or nh % (128 // dh):
+        return 1
+    return 128 // dh
+
+
+def _lane_sel(j: int, dh: int, W: int, dtype):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2) // dh
+    return (lane == j).astype(dtype)
+
+
 def _fwd_kernel(seed_ref, qkv_ref, mask_ref, out_ref, *, nh, dh, p):
     H = nh * dh
     scale = 1.0 / math.sqrt(dh)
     if p > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     bias = (1.0 - mask_ref[:].astype(jnp.float32)) * NEG      # (NB, T)
-    for h in range(nh):
-        q = qkv_ref[:, :, h * dh:(h + 1) * dh]
-        k = qkv_ref[:, :, H + h * dh:H + (h + 1) * dh]
-        v = qkv_ref[:, :, 2 * H + h * dh:2 * H + (h + 1) * dh]
-        scores = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale        # (NB, T, T)
-        scores = scores + bias[:, None, :]
-        probs = jax.nn.softmax(scores, axis=-1).astype(qkv_ref.dtype)
-        if p > 0.0:
-            keep = _dropout_keep(probs.shape, p)
-            probs = jnp.where(keep, probs / (1.0 - p),
-                              jnp.zeros_like(probs))
-        ctx = jax.lax.dot_general(
-            probs, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)                # (NB, T, dh)
-        out_ref[:, :, h * dh:(h + 1) * dh] = ctx.astype(out_ref.dtype)
+    hpt = _heads_per_tile(nh, dh)
+    W = hpt * dh
+    for g in range(nh // hpt):
+        base = g * W
+        qg = qkv_ref[:, :, base:base + W]                  # aligned views
+        kg = qkv_ref[:, :, H + base:H + base + W]
+        vg = qkv_ref[:, :, 2 * H + base:2 * H + base + W]
+        ctx_acc = None
+        for j in range(hpt):
+            sel = _lane_sel(j, dh, W, qg.dtype) if hpt > 1 else None
+            qj = qg * sel if hpt > 1 else qg
+            scores = jax.lax.dot_general(
+                qj, kg, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale    # (NB, T, T)
+            scores = scores + bias[:, None, :]
+            probs = jax.nn.softmax(scores, axis=-1).astype(qkv_ref.dtype)
+            if p > 0.0:
+                keep = _dropout_keep(probs.shape, p)
+                probs = jnp.where(keep, probs / (1.0 - p),
+                                  jnp.zeros_like(probs))
+            vj = vg * sel if hpt > 1 else vg
+            ctx = jax.lax.dot_general(
+                probs, vj, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)            # (NB, T, W)
+            ctx_acc = ctx if ctx_acc is None else ctx_acc + ctx
+        out_ref[:, :, base:base + W] = ctx_acc.astype(out_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *, nh, dh, p):
@@ -92,48 +120,65 @@ def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *, nh, dh, p):
         # same seed, same per-head generation order => same masks as forward
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     bias = (1.0 - mask_ref[:].astype(jnp.float32)) * NEG
-    for h in range(nh):
-        q = qkv_ref[:, :, h * dh:(h + 1) * dh]
-        k = qkv_ref[:, :, H + h * dh:H + (h + 1) * dh]
-        v = qkv_ref[:, :, 2 * H + h * dh:2 * H + (h + 1) * dh]
-        dctx = dout_ref[:, :, h * dh:(h + 1) * dh]
-        scores = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        scores = scores + bias[:, None, :]
-        probs = jax.nn.softmax(scores, axis=-1)                # f32
-        probs_c = probs.astype(qkv_ref.dtype)                  # fwd's cast
-        if p > 0.0:
-            keep = _dropout_keep(probs_c.shape, p)
-            inv = 1.0 / (1.0 - p)
-            dropped = jnp.where(keep, probs_c * inv,
-                                jnp.zeros_like(probs_c))
-        else:
-            dropped = probs_c
-        # dv = droppedᵀ · dctx    (contract over queries)
-        dv = jax.lax.dot_general(
-            dropped, dctx, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)                # (NB, T, dh)
-        # dprobs (pre-dropout) = (dctx · vᵀ) * keep/(1-p)
-        dprobs = jax.lax.dot_general(
-            dctx, v, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)                # (NB, T, T)
-        if p > 0.0:
-            dprobs = jnp.where(keep, dprobs * inv, jnp.zeros_like(dprobs))
-        # softmax backward in f32
-        dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
-                                            keepdims=True))
-        dscores = (dscores * scale).astype(qkv_ref.dtype)
-        dq = jax.lax.dot_general(
-            dscores, k, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)                # (NB, T, dh)
-        dk = jax.lax.dot_general(
-            dscores, q, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        dqkv_ref[:, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[:, :, H + h * dh:H + (h + 1) * dh] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[:, :, 2 * H + h * dh:2 * H + (h + 1) * dh] = \
-            dv.astype(dqkv_ref.dtype)
+    hpt = _heads_per_tile(nh, dh)
+    W = hpt * dh
+    for g in range(nh // hpt):
+        base = g * W
+        qg = qkv_ref[:, :, base:base + W]
+        kg = qkv_ref[:, :, H + base:H + base + W]
+        vg = qkv_ref[:, :, 2 * H + base:2 * H + base + W]
+        dctxg = dout_ref[:, :, base:base + W]
+        dq_acc = dk_acc = dv_acc = None
+        for j in range(hpt):
+            sel = _lane_sel(j, dh, W, qg.dtype) if hpt > 1 else None
+            qj = qg * sel if hpt > 1 else qg
+            dctxj = dctxg * sel if hpt > 1 else dctxg
+            scores = jax.lax.dot_general(
+                qj, kg, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            scores = scores + bias[:, None, :]
+            probs = jax.nn.softmax(scores, axis=-1)            # f32
+            probs_c = probs.astype(qkv_ref.dtype)              # fwd's cast
+            if p > 0.0:
+                keep = _dropout_keep(probs_c.shape, p)
+                inv = 1.0 / (1.0 - p)
+                dropped = jnp.where(keep, probs_c * inv,
+                                    jnp.zeros_like(probs_c))
+            else:
+                dropped = probs_c
+            # dv = droppedᵀ · dctx (contract over queries); the masked dctx
+            # zeroes every lane outside head j
+            dv = jax.lax.dot_general(
+                dropped, dctxj, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)            # (NB, T, W)
+            # dprobs (pre-dropout) = (dctx_j · vᵀ) — masking one side of the
+            # 128-lane contraction selects head j exactly
+            dprobs = jax.lax.dot_general(
+                dctxj, vg, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)            # (NB, T, T)
+            if p > 0.0:
+                dprobs = jnp.where(keep, dprobs * inv,
+                                   jnp.zeros_like(dprobs))
+            # softmax backward in f32
+            dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                                keepdims=True))
+            dscores = (dscores * scale).astype(qkv_ref.dtype)
+            kj = kg * sel if hpt > 1 else kg
+            dq = jax.lax.dot_general(
+                dscores, kj, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)            # (NB, T, W)
+            dk = jax.lax.dot_general(
+                dscores, qj, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            if dq_acc is None:
+                dq_acc, dk_acc, dv_acc = dq, dk, dv
+            else:
+                dq_acc, dk_acc, dv_acc = (dq_acc + dq, dk_acc + dk,
+                                          dv_acc + dv)
+        dqkv_ref[:, :, base:base + W] = dq_acc.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, H + base:H + base + W] = dk_acc.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * H + base:2 * H + base + W] = \
+            dv_acc.astype(dqkv_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)

@@ -89,6 +89,8 @@ def main():
         run("nofence", env=("IDVS_NO_FENCE",))
     if "xla_attn" in which:
         run("xla_attn", fused=False)
+    if "sgemb" in which:
+        run("sgemb", env=("IDVS_SG_EMB",))
 
 
 if __name__ == "__main__":

@@ -134,44 +134,6 @@ def _fence(x):
     return jax.lax.optimization_barrier(x)
 
 
-class DropAddLN(nn.Module):
-    """LN(resid + dropout(x)) — the post-LN residual close. fused=True runs
-    it as ONE Pallas pass fwd and one bwd (ops/pallas/add_ln.py); the
-    default is the XLA composition with flax-LayerNorm-identical numerics.
-    Param tree ({scale, bias} under this module's name) matches
-    nn.LayerNorm, so the HF converters and freeze masks are untouched.
-
-    Measured (v5e via the tunneled platform, BERT-small bench geometry):
-    the fused kernel is ~6 ms/step SLOWER in-context than XLA's own
-    elementwise fusion of this chain — XLA already coalesces
-    dropout+add+LN-stats into ~2 passes, and the kernel boundary costs more
-    than it saves. Kept default-off; the win on this chain came from the
-    rbg dropout PRNG instead (config.dropout_prng)."""
-    epsilon: float
-    drop_rate: float
-    fused: bool = False
-
-    @nn.compact
-    def __call__(self, x, resid, deterministic: bool = True):
-        H = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (H,))
-        bias = self.param("bias", nn.initializers.zeros, (H,))
-        p = 0.0 if deterministic else self.drop_rate
-        use_fused = self.fused
-        if use_fused:
-            from ..ops.pallas.add_ln import fused_drop_add_ln
-            rng = self.make_rng("dropout") if p > 0.0 else None
-            return fused_drop_add_ln(x, resid, scale, bias, drop_rate=p,
-                                     eps=self.epsilon, dropout_rng=rng)
-        xd = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
-        s = (resid + xd).astype(jnp.float32)
-        mu = jnp.mean(s, axis=-1, keepdims=True)
-        var = jnp.mean(s * s, axis=-1, keepdims=True) - mu * mu
-        mul = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
-        y = (s - mu) * mul + bias.astype(jnp.float32)
-        return y.astype(x.dtype)
-
-
 class BertLayer(nn.Module):
     cfg: BertConfig
 
@@ -182,14 +144,16 @@ class BertLayer(nn.Module):
             hidden, attention_mask, deterministic)
         attn_out = _fence(nn.Dense(c.hidden_size,
                                    name="attention_output")(attn_out))
-        hidden = DropAddLN(c.layer_norm_eps, c.hidden_dropout_prob,
-                           name="attention_ln")(attn_out, hidden,
-                                                deterministic)
+        attn_out = nn.Dropout(c.hidden_dropout_prob,
+                              deterministic=deterministic)(attn_out)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                              name="attention_ln")(_fence(hidden + attn_out))
         inter = nn.Dense(c.intermediate_size, name="intermediate")(hidden)
         inter = nn.gelu(inter, approximate=False)
         out = _fence(nn.Dense(c.hidden_size, name="output")(inter))
-        return DropAddLN(c.layer_norm_eps, c.hidden_dropout_prob,
-                         name="output_ln")(out, hidden, deterministic)
+        out = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(out)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps,
+                            name="output_ln")(_fence(hidden + out))
 
 
 class BertModel(nn.Module):

@@ -35,6 +35,9 @@ class MultiHeadSelfAttention(nn.Module):
     d_model: int
     n_heads: int
     drop_rate: float
+    # None = auto: fused Pallas attention on TPU (natural-layout kernel,
+    # causal mask passed as a per-head additive bias), XLA elsewhere
+    fused: bool = None
 
     @nn.compact
     def __call__(self, x, att_mask, deterministic: bool = True):
@@ -49,16 +52,30 @@ class MultiHeadSelfAttention(nn.Module):
         kv, _ = proj("w_V")()
         w = jnp.concatenate([kq, kk, kv], axis=1).astype(x.dtype)
         qkv = _fence(jnp.dot(x, w))
-        q, k, v = [t.reshape(B, L, H, dk).transpose(0, 2, 1, 3)
-                   for t in jnp.split(qkv, 3, axis=-1)]
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) / (dk ** 0.5)
-        attn = attn + att_mask  # additive {0, -1e9} (encoders.py:27)
-        p = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        p = nn.Dropout(self.drop_rate, deterministic=deterministic)(p)
-        out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, self.d_model)
+        use_fused = self.fused
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+        p_drop = 0.0 if deterministic else self.drop_rate
+        if use_fused:
+            from ..ops.pallas.attention import fused_mha
+            bias = jnp.broadcast_to(att_mask.astype(jnp.float32),
+                                    (B, H, L, L))    # (B,1,L,L) -> per-head
+            rng = self.make_rng("dropout") if p_drop > 0.0 else None
+            out = fused_mha(qkv, bias=bias, n_heads=H, drop_rate=p_drop,
+                            dropout_rng=rng,
+                            interpret=(None if self.fused is None else
+                                       jax.default_backend() != "tpu"))
+        else:
+            q, k, v = [t.reshape(B, L, H, dk).transpose(0, 2, 1, 3)
+                       for t in jnp.split(qkv, 3, axis=-1)]
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                              preferred_element_type=jnp.float32) / (dk ** 0.5)
+            attn = attn + att_mask  # additive {0, -1e9} (encoders.py:27)
+            p = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            p = nn.Dropout(self.drop_rate, deterministic=deterministic)(p)
+            out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, self.d_model)
         out = _fence(nn.Dense(self.d_model, use_bias=False,
                               kernel_init=xavier_normal, name="fc")(out))
         out = nn.Dropout(self.drop_rate, deterministic=deterministic)(out)

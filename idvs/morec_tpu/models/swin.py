@@ -117,11 +117,14 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        import os as _os
         c = self.cfg
         H, W = self.resolution
         B, L, C = x.shape
         w = min(c.window_size, H, W)
         s = w // 2 if (self.shift and w < min(H, W)) else 0
+        if _os.environ.get("IDVS_SWIN_NO_SHIFT"):
+            s = 0   # perf-ablation escape hatch (tools/swin_matrix.py)
         shortcut = x
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layernorm_before")(x)
         x = x.reshape(B, H, W, C)
@@ -132,35 +135,45 @@ class SwinBlock(nn.Module):
         Hp, Wp = H + pad_h, W + pad_w
         if s:
             x = jnp.roll(x, (-s, -s), axis=(1, 2))
-        wins = _window_partition(x, w)                       # (B*nW, w*w, C)
+        if _os.environ.get("IDVS_SWIN_NO_WIN"):
+            wins = x.reshape(-1, w * w, C)   # ablation: no 6D transpose
+        else:
+            wins = _window_partition(x, w)                   # (B*nW, w*w, C)
 
         # --- windowed attention with relative position bias ---
         nh, dh = self.n_heads, C // self.n_heads
         q = nn.Dense(C, name="query")(wins).reshape(-1, w * w, nh, dh)
         k = nn.Dense(C, name="key")(wins).reshape(-1, w * w, nh, dh)
         v = nn.Dense(C, name="value")(wins).reshape(-1, w * w, nh, dh)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) / (dh ** 0.5)
         table = self.param("relative_position_bias_table",
                            nn.initializers.normal(0.02),
                            ((2 * w - 1) ** 2, nh))
-        idx = jnp.asarray(_rel_pos_index(w).reshape(-1))
-        bias = table[idx].reshape(w * w, w * w, nh).transpose(2, 0, 1)
-        attn = attn + bias[None]
-        if s:
-            amask = jnp.asarray(_shift_mask(Hp, Wp, w, s))   # (nW, ww, ww)
-            nW = amask.shape[0]
-            attn = attn.reshape(-1, nW, nh, w * w, w * w)
-            attn = attn + amask[None, :, None]
-            attn = attn.reshape(-1, nh, w * w, w * w)
-        p = jax.nn.softmax(attn, axis=-1).astype(wins.dtype)
-        p = nn.Dropout(c.attention_probs_dropout_prob,
-                       deterministic=deterministic)(p)
-        out = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(-1, w * w, C)
+        if _os.environ.get("IDVS_SWIN_NO_ATTN"):
+            out = (q + k + v).reshape(-1, w * w, C)   # ablation: identity
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                              preferred_element_type=jnp.float32) / (dh ** 0.5)
+            if not _os.environ.get("IDVS_SWIN_NO_BIAS"):
+                idx = jnp.asarray(_rel_pos_index(w).reshape(-1))
+                bias = table[idx].reshape(w * w, w * w, nh).transpose(2, 0, 1)
+                attn = attn + bias[None]
+            if s:
+                amask = jnp.asarray(_shift_mask(Hp, Wp, w, s))  # (nW, ww, ww)
+                nW = amask.shape[0]
+                attn = attn.reshape(-1, nW, nh, w * w, w * w)
+                attn = attn + amask[None, :, None]
+                attn = attn.reshape(-1, nh, w * w, w * w)
+            p = jax.nn.softmax(attn, axis=-1).astype(wins.dtype)
+            p = nn.Dropout(c.attention_probs_dropout_prob,
+                           deterministic=deterministic)(p)
+            out = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(-1, w * w, C)
         out = nn.Dense(C, name="attention_output")(out)
         out = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(out)
 
-        x = _window_reverse(out, w, Hp, Wp)
+        if _os.environ.get("IDVS_SWIN_NO_WIN"):
+            x = out.reshape(B, Hp, Wp, C)
+        else:
+            x = _window_reverse(out, w, Hp, Wp)
         if s:
             x = jnp.roll(x, (s, s), axis=(1, 2))
         if pad_h or pad_w:

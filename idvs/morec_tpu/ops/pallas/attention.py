@@ -60,18 +60,21 @@ def _dropout_keep(shape, p):
     return pltpu.bitcast(bits, jnp.uint32) >= thresh
 
 
-def _heads_per_tile(nh: int, dh: int) -> int:
-    """How many heads share one 128-lane tile group. For dh < 128 a
-    per-head (.., dh)-wide lane slice is NOT tile-aligned, and Mosaic
+def _head_groups(nh: int, dh: int):
+    """[(first_head, n_heads)] tile groups of up to 128 lanes. For dh < 128
+    a per-head (.., dh)-wide lane slice is NOT tile-aligned, and Mosaic
     lowers it (and the matching sub-tile store) as a lane relayout — the
     dominant cost of the naive kernel. Instead each 128-wide group of
-    heads is taken as an ALIGNED view and individual heads are selected by
-    multiplying with a constant lane mask: masked lanes contribute exactly
-    0 to the 128-lane contraction, so per-head dot semantics are exact and
-    every VMEM access stays tile-aligned."""
-    if dh >= 128 or 128 % dh or nh % (128 // dh):
-        return 1
-    return 128 // dh
+    heads is taken as an ALIGNED-OFFSET view and individual heads are
+    selected by multiplying with a constant lane mask: masked lanes
+    contribute exactly 0 to the 128-lane contraction, so per-head dot
+    semantics are exact and every VMEM access stays tile-aligned. A final
+    remainder group (nh % hpt heads, e.g. Swin stage-1's 3 heads of 32) is
+    narrower but still starts at an aligned offset."""
+    if dh >= 128 or 128 % dh:
+        return [(h, 1) for h in range(nh)]
+    hpt = 128 // dh
+    return [(h0, min(hpt, nh - h0)) for h0 in range(0, nh, hpt)]
 
 
 def _lane_sel(j: int, dh: int, W: int, dtype):
@@ -79,33 +82,35 @@ def _lane_sel(j: int, dh: int, W: int, dtype):
     return (lane == j).astype(dtype)
 
 
-def _fwd_kernel(seed_ref, qkv_ref, mask_ref, out_ref, *, nh, dh, p):
+def _fwd_kernel(seed_ref, qkv_ref, mask_ref, out_ref, *, nh, dh, p,
+                full_bias=False):
     H = nh * dh
     scale = 1.0 / math.sqrt(dh)
     if p > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    bias = (1.0 - mask_ref[:].astype(jnp.float32)) * NEG      # (NB, T)
-    hpt = _heads_per_tile(nh, dh)
-    W = hpt * dh
-    for g in range(nh // hpt):
-        base = g * W
+    if not full_bias:
+        bias = (1.0 - mask_ref[:].astype(jnp.float32)) * NEG  # (NB, T)
+    for h0, gh in _head_groups(nh, dh):
+        base = h0 * dh
+        W = gh * dh
         qg = qkv_ref[:, :, base:base + W]                  # aligned views
         kg = qkv_ref[:, :, H + base:H + base + W]
         vg = qkv_ref[:, :, 2 * H + base:2 * H + base + W]
         ctx_acc = None
-        for j in range(hpt):
-            sel = _lane_sel(j, dh, W, qg.dtype) if hpt > 1 else None
-            qj = qg * sel if hpt > 1 else qg
+        for j in range(gh):
+            sel = _lane_sel(j, dh, W, qg.dtype) if gh > 1 else None
+            qj = qg * sel if gh > 1 else qg
             scores = jax.lax.dot_general(
                 qj, kg, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32) * scale    # (NB, T, T)
-            scores = scores + bias[:, None, :]
+            scores = scores + (mask_ref[:, h0 + j] if full_bias
+                               else bias[:, None, :])
             probs = jax.nn.softmax(scores, axis=-1).astype(qkv_ref.dtype)
             if p > 0.0:
                 keep = _dropout_keep(probs.shape, p)
                 probs = jnp.where(keep, probs / (1.0 - p),
                                   jnp.zeros_like(probs))
-            vj = vg * sel if hpt > 1 else vg
+            vj = vg * sel if gh > 1 else vg
             ctx = jax.lax.dot_general(
                 probs, vj, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)            # (NB, T, W)
@@ -113,30 +118,32 @@ def _fwd_kernel(seed_ref, qkv_ref, mask_ref, out_ref, *, nh, dh, p):
         out_ref[:, :, base:base + W] = ctx_acc.astype(out_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *, nh, dh, p):
+def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *, nh, dh,
+                p, full_bias=False):
     H = nh * dh
     scale = 1.0 / math.sqrt(dh)
     if p > 0.0:
         # same seed, same per-head generation order => same masks as forward
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    bias = (1.0 - mask_ref[:].astype(jnp.float32)) * NEG
-    hpt = _heads_per_tile(nh, dh)
-    W = hpt * dh
-    for g in range(nh // hpt):
-        base = g * W
+    if not full_bias:
+        bias = (1.0 - mask_ref[:].astype(jnp.float32)) * NEG
+    for h0, gh in _head_groups(nh, dh):
+        base = h0 * dh
+        W = gh * dh
         qg = qkv_ref[:, :, base:base + W]
         kg = qkv_ref[:, :, H + base:H + base + W]
         vg = qkv_ref[:, :, 2 * H + base:2 * H + base + W]
         dctxg = dout_ref[:, :, base:base + W]
         dq_acc = dk_acc = dv_acc = None
-        for j in range(hpt):
-            sel = _lane_sel(j, dh, W, qg.dtype) if hpt > 1 else None
-            qj = qg * sel if hpt > 1 else qg
-            dctxj = dctxg * sel if hpt > 1 else dctxg
+        for j in range(gh):
+            sel = _lane_sel(j, dh, W, qg.dtype) if gh > 1 else None
+            qj = qg * sel if gh > 1 else qg
+            dctxj = dctxg * sel if gh > 1 else dctxg
             scores = jax.lax.dot_general(
                 qj, kg, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32) * scale
-            scores = scores + bias[:, None, :]
+            scores = scores + (mask_ref[:, h0 + j] if full_bias
+                               else bias[:, None, :])
             probs = jax.nn.softmax(scores, axis=-1)            # f32
             probs_c = probs.astype(qkv_ref.dtype)              # fwd's cast
             if p > 0.0:
@@ -163,7 +170,7 @@ def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *, nh, dh, p):
             dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
                                                 keepdims=True))
             dscores = (dscores * scale).astype(qkv_ref.dtype)
-            kj = kg * sel if hpt > 1 else kg
+            kj = kg * sel if gh > 1 else kg
             dq = jax.lax.dot_general(
                 dscores, kj, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)            # (NB, T, W)
@@ -182,20 +189,27 @@ def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *, nh, dh, p):
 
 
 @functools.lru_cache(maxsize=None)
-def _build(nh: int, p: float, interpret: bool):
+def _build(nh: int, p: float, interpret: bool, full_bias: bool = False):
+    def mask_spec(NB, T):
+        if full_bias:   # (B, nh, T, T) additive bias, h-indexed in-kernel
+            return pl.BlockSpec((NB, nh, T, T), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((NB, T), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
     def fwd_call(qkv, mask, seed):
         B, T, H3 = qkv.shape
         dh = H3 // 3 // nh
         NB = _pick_block(B)
         return pl.pallas_call(
-            functools.partial(_fwd_kernel, nh=nh, dh=dh, p=p),
+            functools.partial(_fwd_kernel, nh=nh, dh=dh, p=p,
+                              full_bias=full_bias),
             grid=(B // NB,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((NB, T, H3), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((NB, T), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                mask_spec(NB, T),
             ],
             out_specs=pl.BlockSpec((NB, T, H3 // 3), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -208,14 +222,14 @@ def _build(nh: int, p: float, interpret: bool):
         dh = H3 // 3 // nh
         NB = _pick_block(B)
         return pl.pallas_call(
-            functools.partial(_bwd_kernel, nh=nh, dh=dh, p=p),
+            functools.partial(_bwd_kernel, nh=nh, dh=dh, p=p,
+                              full_bias=full_bias),
             grid=(B // NB,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((NB, T, H3), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((NB, T), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                mask_spec(NB, T),
                 pl.BlockSpec((NB, T, H3 // 3), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -240,10 +254,16 @@ def _build(nh: int, p: float, interpret: bool):
     return mha
 
 
-def fused_mha(qkv: jnp.ndarray, mask: jnp.ndarray, *, n_heads: int,
-              drop_rate: float = 0.0, dropout_rng=None,
-              interpret: bool = None) -> jnp.ndarray:
-    """(B, T, 3H) packed QKV + (B, T) key-validity mask -> (B, T, H) context.
+def fused_mha(qkv: jnp.ndarray, mask: jnp.ndarray = None, *, n_heads: int,
+              bias: jnp.ndarray = None, drop_rate: float = 0.0,
+              dropout_rng=None, interpret: bool = None) -> jnp.ndarray:
+    """(B, T, 3H) packed QKV -> (B, T, H) context.
+
+    Exactly one of:
+      mask — (B, T) key-validity mask (BERT semantics: invalid keys get
+             -1e9 before softmax), or
+      bias — (B, nh, T, T) f32 additive score bias (causal masks, Swin
+             relative-position + shift masks, ...), added per head.
 
     drop_rate > 0 needs dropout_rng (a jax PRNG key); the kernel PRNG is
     seeded from it so runs are deterministic given the key.
@@ -256,14 +276,17 @@ def fused_mha(qkv: jnp.ndarray, mask: jnp.ndarray, *, n_heads: int,
     else:
         seed = jnp.zeros((1,), jnp.int32)
         drop_rate = 0.0
+    assert (mask is None) != (bias is None), "pass exactly one of mask/bias"
+    full = bias is not None
     B = qkv.shape[0]
     NB = _pick_block(B)
     pad = (-B) % NB
-    mask = mask.astype(qkv.dtype)
+    m = bias.astype(jnp.float32) if full else mask.astype(qkv.dtype)
     if pad:
-        # pad to a whole number of blocks; padded rows are fully masked
-        # (all-masked rows are finite — uniform softmax — and sliced off)
+        # pad to a whole number of blocks; padded rows are fully masked /
+        # zero-biased (finite — uniform softmax — and sliced off)
         qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
-        mask = jnp.pad(mask, ((0, pad), (0, 0)))
-    out = _build(n_heads, float(drop_rate), bool(interpret))(qkv, mask, seed)
+        m = jnp.pad(m, ((0, pad),) + ((0, 0),) * (m.ndim - 1))
+    out = _build(n_heads, float(drop_rate), bool(interpret), full)(
+        qkv, m, seed)
     return out[:B] if pad else out

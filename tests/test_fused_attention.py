@@ -85,3 +85,51 @@ def test_bert_model_fused_flag_matches_xla():
     o_p = m_p.apply(params, jnp.asarray(ids), jnp.asarray(att))
     np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_full_bias_mode_matches_xla():
+    """bias=(B, nh, T, T) additive mode (causal masks etc.) vs XLA."""
+    B, T, H, nh = 8, 20, 64, 4
+    rng = np.random.default_rng(4)
+    qkv = jnp.asarray(rng.standard_normal((B, T, 3 * H)), jnp.float32)
+    causal = np.triu(np.full((T, T), -1e9, np.float32), k=1)
+    bias = jnp.broadcast_to(jnp.asarray(causal), (B, nh, T, T))
+
+    def xla(qkv):
+        dh = H // nh
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, nh, dh)
+        k = k.reshape(B, T, nh, dh)
+        v = v.reshape(B, T, nh, dh)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) / (dh ** 0.5)
+        p = jax.nn.softmax(attn + bias, axis=-1).astype(qkv.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, T, H)
+
+    out = fused_mha(qkv, bias=bias, n_heads=nh, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla(qkv)),
+                               rtol=2e-5, atol=2e-5)
+    g = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+    g_pl = jax.grad(lambda x: jnp.sum(
+        fused_mha(x, bias=bias, n_heads=nh, interpret=True) * g))(qkv)
+    g_x = jax.grad(lambda x: jnp.sum(xla(x) * g))(qkv)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_x),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sasrec_fused_attention_matches_xla():
+    """MultiHeadSelfAttention fused (interpret) == the XLA einsum path."""
+    from idvs.morec_tpu.models.sasrec import MultiHeadSelfAttention
+    from idvs.morec_tpu.ops.masking import causal_additive_mask
+    rng = np.random.default_rng(5)
+    B, L, D = 6, 20, 64
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    lm = jnp.asarray((rng.uniform(size=(B, L)) < 0.8).astype(np.float32))
+    att_mask = causal_additive_mask(lm)
+    m_x = MultiHeadSelfAttention(D, 2, 0.1, fused=False)
+    m_f = MultiHeadSelfAttention(D, 2, 0.1, fused=True)
+    params = m_x.init(jax.random.PRNGKey(0), x, att_mask, True)
+    o_x = m_x.apply(params, x, att_mask, True)
+    o_f = m_f.apply(params, x, att_mask, True)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_x),
+                               rtol=2e-5, atol=2e-5)

@@ -114,6 +114,10 @@ class SwinBlock(nn.Module):
     resolution: Tuple[int, int]
     shift: bool
     drop_path: float
+    # None = auto: fused Pallas windowed attention on TPU (rel-pos + shift
+    # biases enter the kernel as a CYCLIC (nW, nh, w², w²) bias — windows
+    # repeat with period nW, nothing is broadcast per-row), XLA elsewhere
+    fused: bool = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -142,15 +146,34 @@ class SwinBlock(nn.Module):
 
         # --- windowed attention with relative position bias ---
         nh, dh = self.n_heads, C // self.n_heads
-        q = nn.Dense(C, name="query")(wins).reshape(-1, w * w, nh, dh)
-        k = nn.Dense(C, name="key")(wins).reshape(-1, w * w, nh, dh)
-        v = nn.Dense(C, name="value")(wins).reshape(-1, w * w, nh, dh)
+        q = nn.Dense(C, name="query")(wins)                  # (B·nW, w², C)
+        k = nn.Dense(C, name="key")(wins)
+        v = nn.Dense(C, name="value")(wins)
         table = self.param("relative_position_bias_table",
                            nn.initializers.normal(0.02),
                            ((2 * w - 1) ** 2, nh))
+        use_fused = self.fused
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+        p_drop = (0.0 if deterministic else c.attention_probs_dropout_prob)
         if _os.environ.get("IDVS_SWIN_NO_ATTN"):
-            out = (q + k + v).reshape(-1, w * w, C)   # ablation: identity
+            out = q + k + v                           # ablation: identity
+        elif use_fused:
+            idx = jnp.asarray(_rel_pos_index(w).reshape(-1))
+            bias = table[idx].reshape(w * w, w * w, nh)
+            bias = bias.transpose(2, 0, 1)[None].astype(jnp.float32)
+            if s:   # (nW, nh, w², w²) — cyclic over the window dim
+                amask = jnp.asarray(_shift_mask(Hp, Wp, w, s))
+                bias = bias + amask[:, None]
+            from ..ops.pallas.attention import fused_mha
+            rng = self.make_rng("dropout") if p_drop > 0.0 else None
+            out = fused_mha(jnp.concatenate([q, k, v], axis=-1), bias=bias,
+                            bias_grad=True,   # the rel-pos table trains
+                            n_heads=nh, drop_rate=p_drop, dropout_rng=rng,
+                            interpret=(None if self.fused is None else
+                                       jax.default_backend() != "tpu"))
         else:
+            q, k, v = (t.reshape(-1, w * w, nh, dh) for t in (q, k, v))
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                               preferred_element_type=jnp.float32) / (dh ** 0.5)
             if not _os.environ.get("IDVS_SWIN_NO_BIAS"):

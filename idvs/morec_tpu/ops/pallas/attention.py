@@ -53,6 +53,35 @@ def _pick_block(B: int) -> int:
     return 8
 
 
+def _pick_block_bias(T: int, H3: int, nh: int, rows: int, B: int,
+                     itemsize: int) -> int:
+    """VMEM-budget-aware row-block size for the full-bias path. Mosaic pads
+    the last two dims of every block to tiles — (T, T) biases become
+    (pad8(T), pad128(T)) f32 — so big-nh stages (Swin stage 3/4) blow the
+    16 MB scoped budget at NB=16. Estimate the backward call's footprint
+    (the worst case: qkv + dout + dqkv double-buffered IO blocks plus the
+    bias blocks / resident dbias accumulator) and take the largest block
+    that fits."""
+    sub = 16 if itemsize == 2 else 8
+    Ts = -(-T // sub) * sub            # qkv/dout sublane padding
+    T8 = -(-T // 8) * 8                # f32 bias sublane padding
+    Tl = -(-T // 128) * 128
+    Hl = -(-H3 // 128) * 128
+    bias_row = nh * T8 * Tl * 4
+    for nb in (16, 8, 4, 2):
+        io = 2 * nb * Ts * Hl * itemsize * 2          # qkv in + dqkv out
+        io += 2 * nb * Ts * (Hl // 3) * itemsize      # dout in
+        if rows == B:          # full bias: blocks in, dbias blocks out
+            bias = 4 * nb * bias_row
+        elif rows > nb:        # cyclic blocks in + resident dbias
+            bias = 2 * nb * bias_row + rows * bias_row
+        else:                  # resident small-period bias + dbias
+            bias = 2 * rows * bias_row
+        if io + bias <= 12 * 2 ** 20:
+            return nb
+    return 2
+
+
 def _dropout_keep(shape, p):
     """Bernoulli keep-mask from the already-seeded kernel PRNG."""
     bits = pltpu.prng_random_bits(shape)
@@ -82,6 +111,19 @@ def _lane_sel(j: int, dh: int, W: int, dtype):
     return (lane == j).astype(dtype)
 
 
+def _add_bias(scores, mask_ref, h):
+    """scores (NB, T, T) += per-head bias. The bias block either matches
+    the row block (full / cyclic-large: (NB, nh, T, T)) or is a resident
+    small-period block of P rows that cycles NB//P times within the row
+    block — broadcast via a leading-dim reshape (minor dims untouched)."""
+    NB, P = scores.shape[0], mask_ref.shape[0]
+    if P == NB:
+        return scores + mask_ref[:, h]
+    T = scores.shape[1]
+    s = scores.reshape(NB // P, P, T, T) + mask_ref[:, h][None]
+    return s.reshape(NB, T, T)
+
+
 def _fwd_kernel(seed_ref, qkv_ref, mask_ref, out_ref, *, nh, dh, p,
                 full_bias=False):
     H = nh * dh
@@ -103,8 +145,8 @@ def _fwd_kernel(seed_ref, qkv_ref, mask_ref, out_ref, *, nh, dh, p,
             scores = jax.lax.dot_general(
                 qj, kg, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32) * scale    # (NB, T, T)
-            scores = scores + (mask_ref[:, h0 + j] if full_bias
-                               else bias[:, None, :])
+            scores = (_add_bias(scores, mask_ref, h0 + j) if full_bias
+                      else scores + bias[:, None, :])
             probs = jax.nn.softmax(scores, axis=-1).astype(qkv_ref.dtype)
             if p > 0.0:
                 keep = _dropout_keep(probs.shape, p)
@@ -118,13 +160,26 @@ def _fwd_kernel(seed_ref, qkv_ref, mask_ref, out_ref, *, nh, dh, p,
         out_ref[:, :, base:base + W] = ctx_acc.astype(out_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *, nh, dh,
-                p, full_bias=False):
+def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref,
+                *dbias_ref, nh, dh, p, full_bias=False, bias_rows=0):
+    """bias_rows selects the optional dbias output (trainable biases, e.g.
+    Swin's relative-position table): 0 = no dbias; -1 = per-row blocks
+    (full bias, each written once); >0 = a (bias_rows, nh, T, T) buffer
+    kept VMEM-resident across the whole grid (constant index map) into
+    which every block accumulates — a dynamic row slice when the period
+    exceeds the block, a fold-and-sum over in-block cycles otherwise."""
     H = nh * dh
     scale = 1.0 / math.sqrt(dh)
     if p > 0.0:
         # same seed, same per-head generation order => same masks as forward
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    NB = qkv_ref.shape[0]
+    if bias_rows > 0:
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dbias_ref[0][...] = jnp.zeros_like(dbias_ref[0])
+        if bias_rows > NB:
+            row0 = (pl.program_id(0) % (bias_rows // NB)) * NB
     if not full_bias:
         bias = (1.0 - mask_ref[:].astype(jnp.float32)) * NEG
     for h0, gh in _head_groups(nh, dh):
@@ -142,8 +197,8 @@ def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *, nh, dh,
             scores = jax.lax.dot_general(
                 qj, kg, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32) * scale
-            scores = scores + (mask_ref[:, h0 + j] if full_bias
-                               else bias[:, None, :])
+            scores = (_add_bias(scores, mask_ref, h0 + j) if full_bias
+                      else scores + bias[:, None, :])
             probs = jax.nn.softmax(scores, axis=-1)            # f32
             probs_c = probs.astype(qkv_ref.dtype)              # fwd's cast
             if p > 0.0:
@@ -169,6 +224,14 @@ def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *, nh, dh,
             # softmax backward in f32
             dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
                                                 keepdims=True))
+            if bias_rows == -1:      # d(score)/d(bias) = 1, per-row output
+                dbias_ref[0][:, h0 + j] = dscores
+            elif bias_rows > NB:     # accumulate into the cyclic row slice
+                dbias_ref[0][pl.ds(row0, NB), h0 + j] += dscores
+            elif bias_rows > 0:      # fold in-block cycles, accumulate
+                T = dscores.shape[1]
+                folded = dscores.reshape(NB // bias_rows, bias_rows, T, T)
+                dbias_ref[0][:, h0 + j] += jnp.sum(folded, axis=0)
             dscores = (dscores * scale).astype(qkv_ref.dtype)
             kj = kg * sel if gh > 1 else kg
             dq = jax.lax.dot_general(
@@ -189,29 +252,43 @@ def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *, nh, dh,
 
 
 @functools.lru_cache(maxsize=None)
-def _build(nh: int, p: float, interpret: bool, full_bias: bool = False):
-    def mask_spec(NB, T):
-        if full_bias:   # (B, nh, T, T) additive bias, h-indexed in-kernel
-            return pl.BlockSpec((NB, nh, T, T), lambda i: (i, 0, 0, 0),
+def _build(nh: int, p: float, interpret: bool, full_bias: bool = False,
+           bias_grad: bool = False, NB: int = 0):
+    def mask_spec(nb, T, rows):
+        if full_bias:
+            if rows <= nb:
+                # small-period bias: the whole (P, nh, T, T) array stays
+                # VMEM-resident (constant index map, fetched once); the
+                # kernel folds the NB//P in-block cycles via reshape
+                return pl.BlockSpec((rows, nh, T, T),
+                                    lambda i: (0, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            # (nbb*nb, nh, T, T) additive bias, h-indexed in-kernel. nbb <
+            # n_grid_blocks means the bias CYCLES: qkv block i reads bias
+            # block i % nbb (per-window Swin biases repeat with period nW,
+            # so only nW rows ever live in HBM).
+            nbb = rows // nb
+            return pl.BlockSpec((nb, nh, T, T),
+                                lambda i: (i % nbb, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((NB, T), lambda i: (i, 0),
+        return pl.BlockSpec((nb, T), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     def fwd_call(qkv, mask, seed):
         B, T, H3 = qkv.shape
         dh = H3 // 3 // nh
-        NB = _pick_block(B)
+        NB_ = NB or _pick_block(B)
         return pl.pallas_call(
             functools.partial(_fwd_kernel, nh=nh, dh=dh, p=p,
                               full_bias=full_bias),
-            grid=(B // NB,),
+            grid=(B // NB_,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((NB, T, H3), lambda i: (i, 0, 0),
+                pl.BlockSpec((NB_, T, H3), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                mask_spec(NB, T),
+                mask_spec(NB_, T, mask.shape[0]),
             ],
-            out_specs=pl.BlockSpec((NB, T, H3 // 3), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((NB_, T, H3 // 3), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, T, H3 // 3), qkv.dtype),
             interpret=interpret,
@@ -220,22 +297,40 @@ def _build(nh: int, p: float, interpret: bool, full_bias: bool = False):
     def bwd_call(qkv, mask, seed, dout):
         B, T, H3 = qkv.shape
         dh = H3 // 3 // nh
-        NB = _pick_block(B)
+        NB_ = NB or _pick_block(B)
+        rows = mask.shape[0]
+        bias_rows = 0 if not bias_grad else (-1 if rows == B else rows)
+        out_specs = pl.BlockSpec((NB_, T, H3), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, T, H3), qkv.dtype)
+        if bias_rows == -1:   # per-row dbias, one block per grid step
+            out_specs = [out_specs,
+                         pl.BlockSpec((NB_, nh, T, T),
+                                      lambda i: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM)]
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((B, nh, T, T), jnp.float32)]
+        elif bias_rows > 0:   # VMEM-resident cyclic accumulator
+            out_specs = [out_specs,
+                         pl.BlockSpec((rows, nh, T, T),
+                                      lambda i: (0, 0, 0, 0),
+                                      memory_space=pltpu.VMEM)]
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((rows, nh, T, T), jnp.float32)]
         return pl.pallas_call(
             functools.partial(_bwd_kernel, nh=nh, dh=dh, p=p,
-                              full_bias=full_bias),
-            grid=(B // NB,),
+                              full_bias=full_bias, bias_rows=bias_rows),
+            grid=(B // NB_,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((NB, T, H3), lambda i: (i, 0, 0),
+                pl.BlockSpec((NB_, T, H3), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                mask_spec(NB, T),
-                pl.BlockSpec((NB, T, H3 // 3), lambda i: (i, 0, 0),
+                mask_spec(NB_, T, mask.shape[0]),
+                pl.BlockSpec((NB_, T, H3 // 3), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((NB, T, H3), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, T, H3), qkv.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
         )(seed, qkv, mask, dout)
 
@@ -248,6 +343,9 @@ def _build(nh: int, p: float, interpret: bool, full_bias: bool = False):
 
     def mha_bwd(res, dout):
         qkv, mask, seed = res
+        if bias_grad:
+            dqkv, dbias = bwd_call(qkv, mask, seed, dout)
+            return dqkv, dbias.astype(mask.dtype), None
         return bwd_call(qkv, mask, seed, dout), None, None
 
     mha.defvjp(mha_fwd, mha_bwd)
@@ -255,15 +353,27 @@ def _build(nh: int, p: float, interpret: bool, full_bias: bool = False):
 
 
 def fused_mha(qkv: jnp.ndarray, mask: jnp.ndarray = None, *, n_heads: int,
-              bias: jnp.ndarray = None, drop_rate: float = 0.0,
-              dropout_rng=None, interpret: bool = None) -> jnp.ndarray:
+              bias: jnp.ndarray = None, bias_grad: bool = False,
+              drop_rate: float = 0.0, dropout_rng=None,
+              interpret: bool = None) -> jnp.ndarray:
     """(B, T, 3H) packed QKV -> (B, T, H) context.
 
     Exactly one of:
       mask — (B, T) key-validity mask (BERT semantics: invalid keys get
              -1e9 before softmax), or
-      bias — (B, nh, T, T) f32 additive score bias (causal masks, Swin
-             relative-position + shift masks, ...), added per head.
+      bias — (P, nh, T, T) f32 additive score bias (causal masks, Swin
+             relative-position + shift masks, ...), added per head. P == B,
+             or P divides B and the bias CYCLES: row r gets bias[r % P].
+             Swin passes its per-window rel-pos + shift bias with P = nW
+             (window order is fastest-varying in the row dim), so the bias
+             stays (nW, nh, w², w²) in HBM instead of a per-row broadcast.
+
+    bias_grad=True makes the call differentiable w.r.t. bias (needed when
+    the bias contains trainable parameters, e.g. Swin's relative-position
+    table): the backward kernel emits the f32 softmax-backward dscores —
+    per row for a full bias, accumulated in a VMEM-resident (P, nh, T, T)
+    buffer for a cyclic one — and the wrapper's tile/pad/take VJPs reduce
+    it back to the caller's bias shape.
 
     drop_rate > 0 needs dropout_rng (a jax PRNG key); the kernel PRNG is
     seeded from it so runs are deterministic given the key.
@@ -278,15 +388,27 @@ def fused_mha(qkv: jnp.ndarray, mask: jnp.ndarray = None, *, n_heads: int,
         drop_rate = 0.0
     assert (mask is None) != (bias is None), "pass exactly one of mask/bias"
     full = bias is not None
-    B = qkv.shape[0]
-    NB = _pick_block(B)
-    pad = (-B) % NB
+    B, T, H3 = qkv.shape
     m = bias.astype(jnp.float32) if full else mask.astype(qkv.dtype)
+    NB = (_pick_block_bias(T, H3, n_heads, m.shape[0], B,
+                           qkv.dtype.itemsize) if full else _pick_block(B))
+    pad = (-B) % NB
+    cyclic = full and m.shape[0] != B
+    if cyclic:
+        P = m.shape[0]
+        assert B % P == 0, f"cyclic bias period {P} must divide B={B}"
+        if not ((P <= NB and NB % P == 0) or (P > NB and P % NB == 0)):
+            # mutually indivisible period: materialize the full bias
+            # (the pad branch below zero-pads the extra rows)
+            m = jnp.take(m, jnp.arange(B) % P, axis=0)
+            cyclic = False
     if pad:
         # pad to a whole number of blocks; padded rows are fully masked /
-        # zero-biased (finite — uniform softmax — and sliced off)
+        # zero-biased / cyclically biased (finite — uniform or valid
+        # softmax — and sliced off)
         qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
-        m = jnp.pad(m, ((0, pad),) + ((0, 0),) * (m.ndim - 1))
-    out = _build(n_heads, float(drop_rate), bool(interpret), full)(
-        qkv, m, seed)
+        if not cyclic:
+            m = jnp.pad(m, ((0, pad),) + ((0, 0),) * (m.ndim - 1))
+    out = _build(n_heads, float(drop_rate), bool(interpret), full,
+                 bool(bias_grad and full), NB if full else 0)(qkv, m, seed)
     return out[:B] if pad else out

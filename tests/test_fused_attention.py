@@ -117,6 +117,81 @@ def test_full_bias_mode_matches_xla():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("B,P,nh,dh", [
+    (32, 4, 4, 16),   # P < NB: bias tiled into one block
+    (64, 32, 3, 32),  # P > NB: cyclic block index map; remainder head group
+    (24, 3, 2, 16),   # P indivisible by NB: full-materialize fallback
+])
+def test_cyclic_bias_matches_modular_take(B, P, nh, dh):
+    """bias with leading dim P < B cycles: row r gets bias[r % P] (Swin's
+    per-window shift masks repeat with period nW)."""
+    T, H = 10, nh * dh
+    rng = np.random.default_rng(6)
+    qkv = jnp.asarray(rng.standard_normal((B, T, 3 * H)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((P, nh, T, T)) * 3.0, jnp.float32)
+    full = jnp.take(bias, jnp.arange(B) % P, axis=0)
+    out_c = fused_mha(qkv, bias=bias, n_heads=nh, interpret=True)
+    out_f = fused_mha(qkv, bias=full, n_heads=nh, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_f),
+                               rtol=1e-6, atol=1e-6)
+    g = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+    g_c = jax.grad(lambda x: jnp.sum(
+        fused_mha(x, bias=bias, n_heads=nh, interpret=True) * g))(qkv)
+    g_f = jax.grad(lambda x: jnp.sum(
+        fused_mha(x, bias=full, n_heads=nh, interpret=True) * g))(qkv)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_f),
+                               rtol=1e-6, atol=1e-6)
+    # bias cotangent (bias_grad=True): cyclic == modular-take of full,
+    # and both == the XLA composition's bias grad
+    db_c = jax.grad(lambda b: jnp.sum(fused_mha(
+        qkv, bias=b, bias_grad=True, n_heads=nh, interpret=True) * g))(bias)
+    db_f = jax.grad(lambda b: jnp.sum(fused_mha(
+        qkv, bias=jnp.take(b, jnp.arange(B) % P, axis=0), bias_grad=True,
+        n_heads=nh, interpret=True) * g))(bias)
+
+    def xla(b):
+        dh_ = H // nh
+        qq, kk, vv = jnp.split(qkv, 3, axis=-1)
+        qq = qq.reshape(B, T, nh, dh_)
+        kk = kk.reshape(B, T, nh, dh_)
+        vv = vv.reshape(B, T, nh, dh_)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", qq, kk,
+                          preferred_element_type=jnp.float32) / (dh_ ** 0.5)
+        p = jax.nn.softmax(attn + jnp.take(b, jnp.arange(B) % P, axis=0),
+                           axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, vv).reshape(B, T, H)
+
+    db_x = jax.grad(lambda b: jnp.sum(xla(b) * g))(bias)
+    np.testing.assert_allclose(np.asarray(db_c), np.asarray(db_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(db_c), np.asarray(db_x),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_swin_block_fused_matches_xla():
+    """SwinBlock fused windowed attention (shifted: rel-pos + cyclic shift
+    mask through the kernel) == the XLA einsum path, fwd and grads."""
+    from idvs.morec_tpu.models.swin import SwinBlock, SwinConfig
+    cfg = SwinConfig(window_size=4, hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0, drop_path_rate=0.0)
+    rng = np.random.default_rng(7)
+    B, H, W, C, nh = 2, 8, 8, 48, 3          # w=4, nW=4, shift s=2, dh=16
+    x = jnp.asarray(rng.standard_normal((B, H * W, C)), jnp.float32)
+    m_x = SwinBlock(cfg, C, nh, (H, W), shift=True, drop_path=0.0,
+                    fused=False)
+    m_f = SwinBlock(cfg, C, nh, (H, W), shift=True, drop_path=0.0,
+                    fused=True)
+    params = m_x.init(jax.random.PRNGKey(0), x)
+    o_x = m_x.apply(params, x)
+    o_f = m_f.apply(params, x)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_x),
+                               rtol=2e-5, atol=2e-5)
+    g_x = jax.grad(lambda p: jnp.sum(jnp.sin(m_x.apply(p, x))))(params)
+    g_f = jax.grad(lambda p: jnp.sum(jnp.sin(m_f.apply(p, x))))(params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5), g_x, g_f)
+
+
 def test_sasrec_fused_attention_matches_xla():
     """MultiHeadSelfAttention fused (interpret) == the XLA einsum path."""
     from idvs.morec_tpu.models.sasrec import MultiHeadSelfAttention

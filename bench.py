@@ -103,7 +103,8 @@ def _build(config: str):
         from idvs.morec_tpu.models.vision_tower import VisionTower
         scfg = SwinConfig()   # swin-tiny
         encoder = VisionTower(net=SwinModel(scfg), kind="swin",
-                              embedding_dim=D, feature_dim=scfg.num_features)
+                              embedding_dim=D, feature_dim=scfg.num_features,
+                              compute_dtype=jnp.bfloat16)
     if config.startswith("text_morec"):
         from idvs.morec_tpu.models.bert import BertConfig, BertModel
         from idvs.morec_tpu.models.text_tower import TextTower

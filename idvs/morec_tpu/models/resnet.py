@@ -28,15 +28,19 @@ ARCHS = {
 }
 
 
-def _bn(name: str, axis_name: Optional[str]):
+def _bn(name: str, axis_name: Optional[str], dtype=None):
+    # dtype=None infers from input AND params — the f32 stats/scale promote
+    # a bf16-cast network back to f32 from the first BN on. bf16 runs pass
+    # an explicit dtype; statistics still accumulate in f32 internally.
     return nn.BatchNorm(use_running_average=None, momentum=0.9, epsilon=1e-5,
-                        axis_name=axis_name, name=name)
+                        axis_name=axis_name, name=name, dtype=dtype)
 
 
 class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -44,16 +48,16 @@ class BasicBlock(nn.Module):
         residual = x
         y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride),
                     padding=1, use_bias=False, name="conv1")(x)
-        y = _bn("bn1", self.axis_name)(y, use_running_average=ra)
+        y = _bn("bn1", self.axis_name, self.dtype)(y, use_running_average=ra)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
                     name="conv2")(y)
-        y = _bn("bn2", self.axis_name)(y, use_running_average=ra)
+        y = _bn("bn2", self.axis_name, self.dtype)(y, use_running_average=ra)
         if residual.shape[-1] != self.filters or self.stride != 1:
             residual = nn.Conv(self.filters, (1, 1),
                                (self.stride, self.stride), use_bias=False,
                                name="downsample_conv")(x)
-            residual = _bn("downsample_bn", self.axis_name)(
+            residual = _bn("downsample_bn", self.axis_name, self.dtype)(
                 residual, use_running_average=ra)
         return nn.relu(residual + y)
 
@@ -62,25 +66,26 @@ class Bottleneck(nn.Module):
     filters: int          # width of the 3x3; output = 4*filters
     stride: int = 1
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ra = not train
         residual = x
         y = nn.Conv(self.filters, (1, 1), use_bias=False, name="conv1")(x)
-        y = _bn("bn1", self.axis_name)(y, use_running_average=ra)
+        y = _bn("bn1", self.axis_name, self.dtype)(y, use_running_average=ra)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride),
                     padding=1, use_bias=False, name="conv2")(y)
-        y = _bn("bn2", self.axis_name)(y, use_running_average=ra)
+        y = _bn("bn2", self.axis_name, self.dtype)(y, use_running_average=ra)
         y = nn.relu(y)
         y = nn.Conv(4 * self.filters, (1, 1), use_bias=False, name="conv3")(y)
-        y = _bn("bn3", self.axis_name)(y, use_running_average=ra)
+        y = _bn("bn3", self.axis_name, self.dtype)(y, use_running_average=ra)
         if residual.shape[-1] != 4 * self.filters or self.stride != 1:
             residual = nn.Conv(4 * self.filters, (1, 1),
                                (self.stride, self.stride), use_bias=False,
                                name="downsample_conv")(x)
-            residual = _bn("downsample_bn", self.axis_name)(
+            residual = _bn("downsample_bn", self.axis_name, self.dtype)(
                 residual, use_running_average=ra)
         return nn.relu(residual + y)
 
@@ -90,6 +95,7 @@ class ResNet(nn.Module):
     arch: str = "resnet50"
     out_dim: int = 512          # the reference replaces fc with Linear(ed)
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None   # BN result dtype (bf16 compute runs)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -98,14 +104,14 @@ class ResNet(nn.Module):
         ra = not train
         y = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                     name="conv1")(x)
-        y = _bn("bn1", self.axis_name)(y, use_running_average=ra)
+        y = _bn("bn1", self.axis_name, self.dtype)(y, use_running_average=ra)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         filters = 64
         for stage, n_blocks in enumerate(counts):
             for b in range(n_blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
-                y = Block(filters, stride, self.axis_name,
+                y = Block(filters, stride, self.axis_name, self.dtype,
                           name=f"layer{stage + 1}_{b}")(y, train)
             filters *= 2
         y = jnp.mean(y, axis=(1, 2))  # adaptive avg pool to 1x1

@@ -38,6 +38,11 @@ class VisionTower(nn.Module):
     embedding_dim: int
     feature_dim: int               # encoder output width
     project: bool = True           # False = two-stage raw features
+    # activation dtype for the encoder. None keeps the input dtype — but
+    # note f32 images SILENTLY promote every bf16-cast matmul back to f32
+    # (dtype promotion), doubling encoder time and HBM; the train step
+    # passes the Config compute dtype here.
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
@@ -45,6 +50,8 @@ class VisionTower(nn.Module):
             # uint8 host pipeline: normalize on device (ToTensor + Normalize
             # (.5,.5,.5) parity, reference dataset.py:68-73) — 4x less H2D
             images = (images.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        if self.compute_dtype is not None:
+            images = images.astype(self.compute_dtype)
         if self.kind == "resnet":
             # fc(embedding_dim) is inside ResNet (out_dim); BN train mode
             # follows deterministic (SyncBN handled via axis_name in the net)
@@ -75,7 +82,9 @@ def build_vision_tower(cfg, axis_name: Optional[str] = None):
     if name.startswith("resnet"):
         from .resnet import (ResNet, convert_resnet_state_dict,
                              resnet_frozen_paths)
-        net = ResNet(arch=name, out_dim=cfg.embedding_dim, axis_name=axis_name)
+        net = ResNet(arch=name, out_dim=cfg.embedding_dim, axis_name=axis_name,
+                     dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                            else None))
         params = None
         for cand in (os.path.join(path, f"{name}.pth"), path + ".pth"):
             if os.path.exists(cand):
@@ -165,5 +174,8 @@ def build_vision_tower(cfg, axis_name: Optional[str] = None):
         kind, feat = "mae", mcfg.hidden_size
 
     tower = VisionTower(net=net, kind=kind, embedding_dim=cfg.embedding_dim,
-                        feature_dim=feat, project=(cfg.stage == "end2end"))
+                        feature_dim=feat, project=(cfg.stage == "end2end"),
+                        compute_dtype=(jnp.bfloat16
+                                       if cfg.compute_dtype == "bfloat16"
+                                       else None))
     return tower, params, frozen, feat

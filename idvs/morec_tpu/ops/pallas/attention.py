@@ -54,30 +54,32 @@ def _pick_block(B: int) -> int:
 
 
 def _pick_block_bias(T: int, H3: int, nh: int, rows: int, B: int,
-                     itemsize: int) -> int:
+                     itemsize: int, bias_grad: bool) -> int:
     """VMEM-budget-aware row-block size for the full-bias path. Mosaic pads
     the last two dims of every block to tiles — (T, T) biases become
-    (pad8(T), pad128(T)) f32 — so big-nh stages (Swin stage 3/4) blow the
-    16 MB scoped budget at NB=16. Estimate the backward call's footprint
-    (the worst case: qkv + dout + dqkv double-buffered IO blocks plus the
-    bias blocks / resident dbias accumulator) and take the largest block
-    that fits."""
+    (pad8(T), pad128(T)) — so big-nh stages (Swin stage 3/4) blow the
+    16 MB scoped budget at NB=16, while tiny blocks drown the short-T Swin
+    shapes in per-grid-step overhead (~7 us each). Estimate the backward
+    call's footprint (the worst case: qkv + dout + dqkv double-buffered IO
+    blocks plus the bias blocks / resident f32 dbias accumulator) and take
+    the largest block that fits."""
     sub = 16 if itemsize == 2 else 8
     Ts = -(-T // sub) * sub            # qkv/dout sublane padding
-    T8 = -(-T // 8) * 8                # f32 bias sublane padding
+    T8 = -(-T // 8) * 8                # bias sublane padding (f32 tile)
     Tl = -(-T // 128) * 128
     Hl = -(-H3 // 128) * 128
-    bias_row = nh * T8 * Tl * 4
-    for nb in (16, 8, 4, 2):
+    bias_row = nh * T8 * Tl * itemsize     # bias rides in the qkv dtype
+    dbias_row = nh * T8 * Tl * 4 if bias_grad else 0
+    for nb in (32, 16, 8, 4, 2):
         io = 2 * nb * Ts * Hl * itemsize * 2          # qkv in + dqkv out
         io += 2 * nb * Ts * (Hl // 3) * itemsize      # dout in
         if rows == B:          # full bias: blocks in, dbias blocks out
-            bias = 4 * nb * bias_row
+            bias = 2 * nb * (bias_row + dbias_row)
         elif rows > nb:        # cyclic blocks in + resident dbias
-            bias = 2 * nb * bias_row + rows * bias_row
+            bias = 2 * nb * bias_row + rows * dbias_row
         else:                  # resident small-period bias + dbias
-            bias = 2 * rows * bias_row
-        if io + bias <= 12 * 2 ** 20:
+            bias = rows * (bias_row + dbias_row)
+        if io + bias <= 13 * 2 ** 20:
             return nb
     return 2
 
@@ -389,9 +391,15 @@ def fused_mha(qkv: jnp.ndarray, mask: jnp.ndarray = None, *, n_heads: int,
     assert (mask is None) != (bias is None), "pass exactly one of mask/bias"
     full = bias is not None
     B, T, H3 = qkv.shape
-    m = bias.astype(jnp.float32) if full else mask.astype(qkv.dtype)
+    # The bias rides in the qkv dtype: in bf16-compute regimes the bias add
+    # rounds to bf16 where the XLA path adds f32 — a deviation bounded by
+    # bf16 resolution of the bias values, only present where activations
+    # are already bf16. f32 runs (parity tests) stay exact. Scores and the
+    # softmax stay f32 either way; dbias is accumulated in f32.
+    m = bias.astype(qkv.dtype) if full else mask.astype(qkv.dtype)
     NB = (_pick_block_bias(T, H3, n_heads, m.shape[0], B,
-                           qkv.dtype.itemsize) if full else _pick_block(B))
+                           qkv.dtype.itemsize, bool(bias_grad))
+          if full else _pick_block(B))
     pad = (-B) % NB
     cyclic = full and m.shape[0] != B
     if cyclic:

@@ -165,7 +165,11 @@ def _build(config: str):
 
     def pack(raw):
         """Host work per step, identical to Trainer.make_batch: dedup
-        unique-packing (np.unique) + H2D of ids/mask (+uniq/inverse)."""
+        unique-packing (np.unique) + ONE H2D of ids/mask/images
+        (+uniq/inverse). numpy goes straight to the sharded device_put —
+        a jnp.asarray first would place on the default device and the
+        re-shard round-trips device->host->device through the tunnel
+        (measured 2.7 s for the 106 MB image batch vs 107 ms direct)."""
         import jax.numpy as jnp
         ids, lm = raw[0], raw[1]
         batch = {}
@@ -177,9 +181,9 @@ def _build(config: str):
                 up[:len(uniq)] = uniq
                 batch["uniq_ids"] = jnp.asarray(up)
                 batch["inverse"] = jnp.asarray(inv.astype(np.int32))
-        dev = {"ids": jnp.asarray(ids), "log_mask": jnp.asarray(lm)}
+        dev = {"ids": ids, "log_mask": lm}
         if len(raw) > 2:   # vision: uint8 images for every item slot
-            dev["content"] = jnp.asarray(raw[2])
+            dev["content"] = raw[2]
         sharded = shard_batch(mesh, dev)
         return sharded | batch
 

@@ -68,20 +68,31 @@ def _pick_block_bias(T: int, H3: int, nh: int, rows: int, B: int,
     T8 = -(-T // 8) * 8                # bias sublane padding (f32 tile)
     Tl = -(-T // 128) * 128
     Hl = -(-H3 // 128) * 128
+    Hl3 = -(-(H3 // 3) // 128) * 128
     bias_row = nh * T8 * Tl * itemsize     # bias rides in the qkv dtype
     dbias_row = nh * T8 * Tl * 4 if bias_grad else 0
-    for nb in (32, 16, 8, 4, 2):
-        io = 2 * nb * Ts * Hl * itemsize * 2          # qkv in + dqkv out
-        io += 2 * nb * Ts * (Hl // 3) * itemsize      # dout in
-        if rows == B:          # full bias: blocks in, dbias blocks out
-            bias = 2 * nb * (bias_row + dbias_row)
-        elif rows > nb:        # cyclic blocks in + resident dbias
-            bias = 2 * nb * bias_row + rows * dbias_row
-        else:                  # resident small-period bias + dbias
-            bias = rows * (bias_row + dbias_row)
-        if io + bias <= 13 * 2 ** 20:
-            return nb
-    return 2
+
+    def pick(bwd: bool) -> int:
+        for nb in (32, 16, 8, 4, 2):
+            io = 2 * nb * Ts * Hl * itemsize           # qkv in (dbl-buffered)
+            io += 2 * nb * Ts * Hl3 * itemsize         # out / dout
+            # live f32 (nb, T, T) temporaries: scores/probs(+casts) fwd;
+            # + dropped/dprobs/dscores and the dbias staging in bwd
+            tmp = (6 if bwd else 3) * nb * T8 * Tl * 4
+            bias = 0
+            if bwd:
+                io += 2 * nb * Ts * Hl * itemsize      # dqkv out
+            if rows == B:      # full bias: blocks in (+ dbias blocks out)
+                bias = 2 * nb * (bias_row + (dbias_row if bwd else 0))
+            elif rows > nb:    # cyclic blocks in + resident dbias
+                bias = 2 * nb * bias_row + (rows * dbias_row if bwd else 0)
+            else:              # resident small-period bias + dbias
+                bias = rows * (bias_row + (dbias_row if bwd else 0))
+            if io + tmp + bias <= 10 * 2 ** 20:
+                return nb
+        return 2
+
+    return pick(False), pick(True)
 
 
 def _dropout_keep(shape, p):
@@ -117,10 +128,13 @@ def _add_bias(scores, mask_ref, h):
     """scores (NB, T, T) += per-head bias. The bias block either matches
     the row block (full / cyclic-large: (NB, nh, T, T)) or is a resident
     small-period block of P rows that cycles NB//P times within the row
-    block — broadcast via a leading-dim reshape (minor dims untouched)."""
+    block — broadcast via a leading-dim reshape (minor dims untouched).
+    P == 1 (every non-shifted Swin block) is a plain broadcast add."""
     NB, P = scores.shape[0], mask_ref.shape[0]
     if P == NB:
         return scores + mask_ref[:, h]
+    if P == 1:
+        return scores + mask_ref[0, h][None]
     T = scores.shape[1]
     s = scores.reshape(NB // P, P, T, T) + mask_ref[:, h][None]
     return s.reshape(NB, T, T)
@@ -230,6 +244,8 @@ def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref,
                 dbias_ref[0][:, h0 + j] = dscores
             elif bias_rows > NB:     # accumulate into the cyclic row slice
                 dbias_ref[0][pl.ds(row0, NB), h0 + j] += dscores
+            elif bias_rows == 1:     # single shared bias row: plain sum
+                dbias_ref[0][0, h0 + j] += jnp.sum(dscores, axis=0)
             elif bias_rows > 0:      # fold in-block cycles, accumulate
                 T = dscores.shape[1]
                 folded = dscores.reshape(NB // bias_rows, bias_rows, T, T)
@@ -255,7 +271,7 @@ def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref,
 
 @functools.lru_cache(maxsize=None)
 def _build(nh: int, p: float, interpret: bool, full_bias: bool = False,
-           bias_grad: bool = False, NB: int = 0):
+           bias_grad: bool = False, NBf: int = 0, NBb: int = 0):
     def mask_spec(nb, T, rows):
         if full_bias:
             if rows <= nb:
@@ -279,7 +295,7 @@ def _build(nh: int, p: float, interpret: bool, full_bias: bool = False,
     def fwd_call(qkv, mask, seed):
         B, T, H3 = qkv.shape
         dh = H3 // 3 // nh
-        NB_ = NB or _pick_block(B)
+        NB_ = NBf or _pick_block(B)
         return pl.pallas_call(
             functools.partial(_fwd_kernel, nh=nh, dh=dh, p=p,
                               full_bias=full_bias),
@@ -299,7 +315,7 @@ def _build(nh: int, p: float, interpret: bool, full_bias: bool = False,
     def bwd_call(qkv, mask, seed, dout):
         B, T, H3 = qkv.shape
         dh = H3 // 3 // nh
-        NB_ = NB or _pick_block(B)
+        NB_ = NBb or _pick_block(B)
         rows = mask.shape[0]
         bias_rows = 0 if not bias_grad else (-1 if rows == B else rows)
         out_specs = pl.BlockSpec((NB_, T, H3), lambda i: (i, 0, 0),
@@ -397,15 +413,21 @@ def fused_mha(qkv: jnp.ndarray, mask: jnp.ndarray = None, *, n_heads: int,
     # are already bf16. f32 runs (parity tests) stay exact. Scores and the
     # softmax stay f32 either way; dbias is accumulated in f32.
     m = bias.astype(qkv.dtype) if full else mask.astype(qkv.dtype)
-    NB = (_pick_block_bias(T, H3, n_heads, m.shape[0], B,
-                           qkv.dtype.itemsize, bool(bias_grad))
-          if full else _pick_block(B))
-    pad = (-B) % NB
+    if full:
+        NBf, NBb = _pick_block_bias(T, H3, n_heads, m.shape[0], B,
+                                    qkv.dtype.itemsize, bool(bias_grad))
+    else:
+        NBf = NBb = _pick_block(B)
+    pad = (-B) % max(NBf, NBb)
     cyclic = full and m.shape[0] != B
     if cyclic:
         P = m.shape[0]
         assert B % P == 0, f"cyclic bias period {P} must divide B={B}"
-        if not ((P <= NB and NB % P == 0) or (P > NB and P % NB == 0)):
+
+        def fits(nb):
+            return (P <= nb and nb % P == 0) or (P > nb and P % nb == 0)
+
+        if not (fits(NBf) and fits(NBb)):
             # mutually indivisible period: materialize the full bias
             # (the pad branch below zero-pads the extra rows)
             m = jnp.take(m, jnp.arange(B) % P, axis=0)
@@ -418,5 +440,6 @@ def fused_mha(qkv: jnp.ndarray, mask: jnp.ndarray = None, *, n_heads: int,
         if not cyclic:
             m = jnp.pad(m, ((0, pad),) + ((0, 0),) * (m.ndim - 1))
     out = _build(n_heads, float(drop_rate), bool(interpret), full,
-                 bool(bias_grad and full), NB if full else 0)(qkv, m, seed)
+                 bool(bias_grad and full),
+                 NBf if full else 0, NBb if full else 0)(qkv, m, seed)
     return out[:B] if pad else out

@@ -54,7 +54,11 @@ BASELINE_SPS = {
 GEOM = {
     "text_morec": (100_000, 128, 20, 512),
     "text_morec_uniform": (100_000, 128, 20, 512),
-    "idrec": (100_000, 128, 20, 512),
+    # B=256: the FIRST entry of the reference IDRec grid's batch_size_list
+    # (inbatch_sasrec_e2e_text/train_id.py:24, [256, 128]); at B=128 the
+    # tunneled platform's ~2.9 ms dispatch floor is 57% of the step
+    # (tools/idrec_bound.py measurement, PARITY.md)
+    "idrec": (100_000, 256, 20, 512),
     "vision_morec": (100_000, 64, 10, 2048),
 }
 ITEM_NUM, B, L, D = GEOM[os.environ.get("BENCH_CONFIG", "text_morec")]

@@ -141,8 +141,12 @@ def _build(config: str):
                  fine_tune_lr=1e-4 if vision else 5e-5,
                  num_words_title=30, dedup_items=dedup, dedup_cap=cap,
                  # microbatch the Swin encoder: B*S=704 images' activations
-                 # exceed 16 GB HBM; 4 remat'd chunks of 176 fit
-                 encoder_chunk=(B * S) // 4 if vision else 0)
+                 # exceed 16 GB HBM. 8 remat'd chunks of 88: measured
+                 # per-image throughput RISES as chunks shrink (1038 img/s
+                 # at 88 vs 893 at 176 — XLA spends less on memory-pressure
+                 # copies; tools/swin_profile.py), and k=8 stays within the
+                 # unrolled-chunk regime (train/step.py)
+                 encoder_chunk=(B * S) // 8 if vision else 0)
     model = make_model(cfg, item_num=ITEM_NUM, encoder=encoder)
 
     ids0 = jnp.asarray(raws[0][0])

@@ -64,7 +64,9 @@ def _epoch_perm(n: int, seed: int, epoch: int, world_pad: int) -> np.ndarray:
     perm = rng.permutation(n)
     total = ((n + world_pad - 1) // world_pad) * world_pad
     if total > n:
-        perm = np.concatenate([perm, perm[: total - n]])
+        # wrap as many times as needed — the pad can exceed n when the
+        # global batch is larger than the whole (tiny) dataset
+        perm = np.tile(perm, -(-total // n))[:total]
     return perm
 
 

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .bert import _fence
+
 
 @dataclasses.dataclass(frozen=True)
 class SwinConfig:
@@ -145,10 +147,19 @@ class SwinBlock(nn.Module):
             wins = _window_partition(x, w)                   # (B*nW, w*w, C)
 
         # --- windowed attention with relative position bias ---
+        # fused QKV: one (C, 3C) dot — same MXU-underfill fix as the text
+        # encoder (models/bert.py; N=C underfills the pipeline, measured
+        # ~48 vs ~94 TFLOPS at C=512). ProjParams keeps the q/k/v param
+        # tree so the HF Swin converter and freeze masks are unchanged.
         nh, dh = self.n_heads, C // self.n_heads
-        q = nn.Dense(C, name="query")(wins)                  # (B·nW, w², C)
-        k = nn.Dense(C, name="key")(wins)
-        v = nn.Dense(C, name="value")(wins)
+        from .layers import ProjParams
+        kq, bq = ProjParams(C, C, name="query")()
+        kk, bk = ProjParams(C, C, name="key")()
+        kv, bv = ProjParams(C, C, name="value")()
+        wcat = jnp.concatenate([kq, kk, kv], axis=1).astype(wins.dtype)
+        bcat = jnp.concatenate([bq, bk, bv]).astype(wins.dtype)
+        qkv = _fence(jnp.dot(wins, wcat) + bcat)             # (B·nW, w², 3C)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         table = self.param("relative_position_bias_table",
                            nn.initializers.normal(0.02),
                            ((2 * w - 1) ** 2, nh))
@@ -167,7 +178,7 @@ class SwinBlock(nn.Module):
                 bias = bias + amask[:, None]
             from ..ops.pallas.attention import fused_mha
             rng = self.make_rng("dropout") if p_drop > 0.0 else None
-            out = fused_mha(jnp.concatenate([q, k, v], axis=-1), bias=bias,
+            out = fused_mha(qkv, bias=bias,
                             bias_grad=True,   # the rel-pos table trains
                             n_heads=nh, drop_rate=p_drop, dropout_rng=rng,
                             interpret=(None if self.fused is None else
@@ -190,7 +201,7 @@ class SwinBlock(nn.Module):
             p = nn.Dropout(c.attention_probs_dropout_prob,
                            deterministic=deterministic)(p)
             out = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(-1, w * w, C)
-        out = nn.Dense(C, name="attention_output")(out)
+        out = _fence(nn.Dense(C, name="attention_output")(out))
         out = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(out)
 
         if _os.environ.get("IDVS_SWIN_NO_WIN"):
@@ -204,10 +215,10 @@ class SwinBlock(nn.Module):
         x = x.reshape(B, L, C)
         x = shortcut + DropPath(self.drop_path, name="dp1")(x, deterministic)
 
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layernorm_after")(x)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layernorm_after")(_fence(x))
         h = nn.Dense(int(C * c.mlp_ratio), name="intermediate")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(C, name="output")(h)
+        h = _fence(nn.Dense(C, name="output")(h))
         h = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(h)
         return x + DropPath(self.drop_path, name="dp2")(h, deterministic)
 

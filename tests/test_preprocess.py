@@ -84,6 +84,19 @@ def test_train_batcher_static_shapes_and_determinism():
     assert any(not np.array_equal(a[0], b[0]) for a, b in zip(b1, b2))
 
 
+def test_train_batcher_wraps_batch_larger_than_dataset():
+    # global batch (e.g. 8 chips x per-chip batch) larger than 2x the
+    # dataset: the wrap pad must tile the permutation, not truncate
+    # (regression: perm[:total-n] silently under-filled the batch)
+    seqs, lens = pad_user_sequences({i: [1 + i, 2, 3] for i in range(5)}, 5)
+    tb = TrainBatcher(seqs, lens, max_seq_len=4, batch_size=16, seed=7)
+    (ids, lm), = list(tb.epoch(1))
+    assert ids.shape == (16, 5) and lm.shape == (16, 4)
+    # every user appears ceil-evenly: 16 slots over 5 users
+    _, counts = np.unique(ids[:, 0], return_counts=True)
+    assert counts.max() - counts.min() <= 1
+
+
 def test_eval_batches_order_exact_padding():
     # 5 users, batch 2, 2 shards -> pad to 8 by repeating the last user
     seqs, lens = pad_user_sequences({i: [i + 1, i + 2, i + 3] for i in range(5)}, 5)

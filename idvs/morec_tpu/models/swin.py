@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bert import _fence
+from jax.ad_checkpoint import checkpoint_name as _ckpt_name
 
 
 @dataclasses.dataclass(frozen=True)
@@ -147,19 +147,20 @@ class SwinBlock(nn.Module):
             wins = _window_partition(x, w)                   # (B*nW, w*w, C)
 
         # --- windowed attention with relative position bias ---
-        # fused QKV: one (C, 3C) dot — same MXU-underfill fix as the text
-        # encoder (models/bert.py; N=C underfills the pipeline, measured
-        # ~48 vs ~94 TFLOPS at C=512). ProjParams keeps the q/k/v param
-        # tree so the HF Swin converter and freeze masks are unchanged.
+        # fused QKV weights (one (C, 3C) matrix); ProjParams keeps the
+        # q/k/v/attention_output param tree so the HF Swin converter and
+        # freeze masks are unchanged. NOTE: unlike bert.py, swin carries NO
+        # fusion fences — measured 171.1 (nofence) vs 177.0 ms (fenced) on
+        # the 176-img chunk; the conv-emitter dots here produce batch-minor
+        # layouts and each fence forced a relayout copy.
         nh, dh = self.n_heads, C // self.n_heads
         from .layers import ProjParams
         kq, bq = ProjParams(C, C, name="query")()
         kk, bk = ProjParams(C, C, name="key")()
         kv, bv = ProjParams(C, C, name="value")()
+        ko, bo = ProjParams(C, C, name="attention_output")()
         wcat = jnp.concatenate([kq, kk, kv], axis=1).astype(wins.dtype)
         bcat = jnp.concatenate([bq, bk, bv]).astype(wins.dtype)
-        qkv = _fence(jnp.dot(wins, wcat) + bcat)             # (B·nW, w², 3C)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
         table = self.param("relative_position_bias_table",
                            nn.initializers.normal(0.02),
                            ((2 * w - 1) ** 2, nh))
@@ -167,23 +168,45 @@ class SwinBlock(nn.Module):
         if use_fused is None:
             use_fused = jax.default_backend() == "tpu"
         p_drop = (0.0 if deterministic else c.attention_probs_dropout_prob)
-        if _os.environ.get("IDVS_SWIN_NO_ATTN"):
-            out = q + k + v                           # ablation: identity
-        elif use_fused:
+        interp = (None if self.fused is None else
+                  jax.default_backend() != "tpu")
+
+        def rel_bias():
             idx = jnp.asarray(_rel_pos_index(w).reshape(-1))
             bias = table[idx].reshape(w * w, w * w, nh)
             bias = bias.transpose(2, 0, 1)[None].astype(jnp.float32)
             if s:   # (nW, nh, w², w²) — cyclic over the window dim
                 amask = jnp.asarray(_shift_mask(Hp, Wp, w, s))
                 bias = bias + amask[:, None]
+            return bias
+
+        projected = False
+        if _os.environ.get("IDVS_SWIN_NO_ATTN"):
+            qkv = jnp.dot(wins, wcat) + bcat
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out = q + k + v                           # ablation: identity
+        elif use_fused and p_drop == 0.0:
+            # projection-absorbing kernel: QKV dot + biased MHA + output
+            # dot in one pallas_call (at Swin's C the XLA projections hit
+            # transpose-reuse conv emitters + per-dot layout copies)
+            from ..ops.pallas.attention import fused_mha_proj
+            out = fused_mha_proj(wins, rel_bias(), wcat, bcat,
+                                 ko.astype(wins.dtype),
+                                 bo.astype(wins.dtype),
+                                 n_heads=nh, bias_grad=True,
+                                 interpret=interp)
+            projected = True
+        elif use_fused:
+            qkv = jnp.dot(wins, wcat) + bcat                 # (B·nW, w², 3C)
             from ..ops.pallas.attention import fused_mha
             rng = self.make_rng("dropout") if p_drop > 0.0 else None
-            out = fused_mha(qkv, bias=bias,
+            out = fused_mha(qkv, bias=rel_bias(),
                             bias_grad=True,   # the rel-pos table trains
                             n_heads=nh, drop_rate=p_drop, dropout_rng=rng,
-                            interpret=(None if self.fused is None else
-                                       jax.default_backend() != "tpu"))
+                            interpret=interp)
         else:
+            qkv = jnp.dot(wins, wcat) + bcat
+            q, k, v = jnp.split(qkv, 3, axis=-1)
             q, k, v = (t.reshape(-1, w * w, nh, dh) for t in (q, k, v))
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                               preferred_element_type=jnp.float32) / (dh ** 0.5)
@@ -201,7 +224,13 @@ class SwinBlock(nn.Module):
             p = nn.Dropout(c.attention_probs_dropout_prob,
                            deterministic=deterministic)(p)
             out = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(-1, w * w, C)
-        out = _fence(nn.Dense(C, name="attention_output")(out))
+        if not projected:
+            out = jnp.dot(out, ko.astype(out.dtype)) + bo.astype(out.dtype)
+        # name the attention result for the chunked-remat policy: the
+        # backward recompute re-runs everything EXCEPT these saved outputs,
+        # so the windowed-attention kernel runs twice per step, not three
+        # times (train/step.py save_only_these_names('swin_attn'))
+        out = _ckpt_name(out, "swin_attn")
         out = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(out)
 
         if _os.environ.get("IDVS_SWIN_NO_WIN"):
@@ -215,12 +244,41 @@ class SwinBlock(nn.Module):
         x = x.reshape(B, L, C)
         x = shortcut + DropPath(self.drop_path, name="dp1")(x, deterministic)
 
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layernorm_after")(_fence(x))
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layernorm_after")(x)
         h = nn.Dense(int(C * c.mlp_ratio), name="intermediate")(h)
         h = nn.gelu(h, approximate=False)
-        h = _fence(nn.Dense(C, name="output")(h))
+        h = nn.Dense(C, name="output")(h)
         h = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(h)
         return x + DropPath(self.drop_path, name="dp2")(h, deterministic)
+
+
+class PatchProject(nn.Module):
+    """Non-overlapping patch embedding as space-to-depth + ONE matmul.
+
+    Numerically identical to the stride-p pxp convolution (patches don't
+    overlap, so the conv is a pure linear map per patch), but a TPU conv
+    with C_in = 3 pads channels to the 8-lane tile and runs the emitter at
+    a fraction of MXU rate — measured 78 ms/step of convolution fusions in
+    the vision bench. The (p*p*C, D) matmul form reshapes the SAME conv
+    kernel param (HWIO row-major over (ph, pw, c) matches the space-to-
+    depth flattening order), so HF checkpoint conversion is untouched.
+    """
+    patch: int
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch
+        B, H, W, C = x.shape
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (p, p, C, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        x = x.reshape(B, H // p, p, W // p, p, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // p, W // p,
+                                                  p * p * C)
+        w2 = kern.astype(x.dtype).reshape(p * p * C, self.features)
+        return jnp.dot(x, w2) + bias.astype(x.dtype)
 
 
 class PatchMerging(nn.Module):
@@ -252,9 +310,8 @@ class SwinModel(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         c = self.cfg
         B = x.shape[0]
-        x = nn.Conv(c.embed_dim, (c.patch_size, c.patch_size),
-                    (c.patch_size, c.patch_size), padding=0,
-                    name="patch_projection")(x)
+        x = PatchProject(c.patch_size, c.embed_dim,
+                         name="patch_projection")(x)
         H, W = x.shape[1], x.shape[2]
         x = x.reshape(B, H * W, c.embed_dim)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="patch_norm")(x)

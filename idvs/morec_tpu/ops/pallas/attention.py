@@ -443,3 +443,349 @@ def fused_mha(qkv: jnp.ndarray, mask: jnp.ndarray = None, *, n_heads: int,
                  bool(bias_grad and full),
                  NBf if full else 0, NBb if full else 0)(qkv, m, seed)
     return out[:B] if pad else out
+
+
+# ---------------------------------------------------------------------------
+# Projection-absorbing edition (Swin windowed attention).
+#
+# Why: at Swin's small channel widths (C=96/192) XLA emits the QKV /
+# attention-output projections through transpose-reuse CONVOLUTION emitters
+# with batch-minor output layouts, then pays a layout copy per dot to get
+# back to the natural row-major activations (traced: 78 ms/step of
+# convolution fusions + a large share of 150 ms/step of layout copies in
+# the vision bench). This kernel absorbs both projections: weights ride in
+# as grid-constant VMEM blocks, qkv/ctx/dqkv live only in registers, and
+# the weight grads accumulate into VMEM-resident f32 buffers across the
+# sequential grid. The analogous absorption LOST on the BERT path (see
+# PARITY.md dead ends) where XLA's big-M dots already ran at 94+ TFLOPS;
+# here the XLA competition is the conv emitter, not a good dot.
+#
+# The wrapper pads T (49 -> 56) to the sublane tile so the in-kernel
+# (NB, T, C) -> (NB*T, C) flattening is free; padded key columns get -1e9
+# bias, padded query rows are sliced off and contribute exactly zero to
+# every gradient (their dout rows are zero-padded by the VJP).
+# ---------------------------------------------------------------------------
+
+
+def _p_proj(x2, w_ref, b_ref):
+    y = jax.lax.dot_general(x2, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return (y + b_ref[...].astype(jnp.float32)).astype(x2.dtype)
+
+
+def _p_attention(qkv, mask_ref, nh, dh, want=False):
+    """Forward attention on an in-register (NB, T, 3H) qkv with the
+    per-head additive bias from mask_ref (cyclic (P, nh, T, T)). Returns
+    ctx in compute dtype (+ per-head probs when want)."""
+    NB, T, H3 = qkv.shape
+    H = H3 // 3
+    scale = 1.0 / math.sqrt(dh)
+    ctx_groups, saved = [], []
+    for h0, gh in _head_groups(nh, dh):
+        base = h0 * dh
+        W = gh * dh
+        qg = qkv[:, :, base:base + W]
+        kg = qkv[:, :, H + base:H + base + W]
+        vg = qkv[:, :, 2 * H + base:2 * H + base + W]
+        ctx_acc = None
+        per_j = []
+        for j in range(gh):
+            sel = _lane_sel(j, dh, W, qg.dtype) if gh > 1 else None
+            qj = qg * sel if gh > 1 else qg
+            scores = jax.lax.dot_general(
+                qj, kg, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            scores = _add_bias(scores, mask_ref, h0 + j)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs_c = probs.astype(qkv.dtype)
+            vj = vg * sel if gh > 1 else vg
+            ctx = jax.lax.dot_general(
+                probs_c, vj, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            ctx_acc = ctx if ctx_acc is None else ctx_acc + ctx
+            if want:
+                per_j.append(probs)
+        ctx_groups.append(ctx_acc.astype(qkv.dtype))
+        if want:
+            saved.append(per_j)
+    ctx = (jnp.concatenate(ctx_groups, axis=-1)
+           if len(ctx_groups) > 1 else ctx_groups[0])
+    return (ctx, saved) if want else ctx
+
+
+def _pfwd_kernel(x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                 out_ref, *, nh, dh):
+    NB, T, H = x_ref.shape
+    x2 = x_ref[...].reshape(NB * T, H)
+    qkv = _p_proj(x2, wqkv_ref, bqkv_ref).reshape(NB, T, 3 * H)
+    ctx = _p_attention(qkv, mask_ref, nh, dh)
+    out_ref[...] = _p_proj(ctx.reshape(NB * T, H), wo_ref,
+                           bo_ref).reshape(NB, T, H).astype(out_ref.dtype)
+
+
+def _pbwd_kernel(x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, dout_ref,
+                 dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+                 *dbias_ref, nh, dh, bias_rows):
+    NB, T, H = x_ref.shape
+    scale = 1.0 / math.sqrt(dh)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+        if bias_rows:
+            dbias_ref[0][...] = jnp.zeros_like(dbias_ref[0])
+    if bias_rows and bias_rows > NB:
+        row0 = (pl.program_id(0) % (bias_rows // NB)) * NB
+
+    x2 = x_ref[...].reshape(NB * T, H)
+    qkv = _p_proj(x2, wqkv_ref, bqkv_ref).reshape(NB, T, 3 * H)
+    ctx, saved = _p_attention(qkv, mask_ref, nh, dh, want=True)
+
+    dout2 = dout_ref[...].reshape(NB * T, H)
+    dwo_ref[...] += jax.lax.dot_general(
+        ctx.reshape(NB * T, H), dout2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbo_ref[...] += jnp.sum(dout2, axis=0,
+                            dtype=jnp.float32).reshape(dbo_ref.shape)
+    dctx = jax.lax.dot_general(
+        dout2, wo_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(qkv.dtype)
+    dctx = dctx.reshape(NB, T, H)
+
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for gi, (h0, gh) in enumerate(_head_groups(nh, dh)):
+        base = h0 * dh
+        W = gh * dh
+        qg = qkv[:, :, base:base + W]
+        kg = qkv[:, :, H + base:H + base + W]
+        vg = qkv[:, :, 2 * H + base:2 * H + base + W]
+        dctxg = dctx[:, :, base:base + W]
+        dq_acc = dk_acc = dv_acc = None
+        for j in range(gh):
+            probs = saved[gi][j]
+            probs_c = probs.astype(qkv.dtype)
+            sel = _lane_sel(j, dh, W, qg.dtype) if gh > 1 else None
+            qj = qg * sel if gh > 1 else qg
+            dctxj = dctxg * sel if gh > 1 else dctxg
+            dv = jax.lax.dot_general(
+                probs_c, dctxj, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dprobs = jax.lax.dot_general(
+                dctxj, vg, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                                keepdims=True))
+            if bias_rows == -1:
+                dbias_ref[0][:, h0 + j] = dscores
+            elif bias_rows > NB:
+                dbias_ref[0][pl.ds(row0, NB), h0 + j] += dscores
+            elif bias_rows == 1:
+                dbias_ref[0][0, h0 + j] += jnp.sum(dscores, axis=0)
+            elif bias_rows > 0:
+                folded = dscores.reshape(NB // bias_rows, bias_rows, T, T)
+                dbias_ref[0][:, h0 + j] += jnp.sum(folded, axis=0)
+            dscores = (dscores * scale).astype(qkv.dtype)
+            kj = kg * sel if gh > 1 else kg
+            dq = jax.lax.dot_general(
+                dscores, kj, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
+                dscores, qj, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            if dq_acc is None:
+                dq_acc, dk_acc, dv_acc = dq, dk, dv
+            else:
+                dq_acc, dk_acc, dv_acc = (dq_acc + dq, dk_acc + dk,
+                                          dv_acc + dv)
+        dt = qkv.dtype
+        dq_parts.append(dq_acc.astype(dt))
+        dk_parts.append(dk_acc.astype(dt))
+        dv_parts.append(dv_acc.astype(dt))
+
+    def cat(parts):
+        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+    dqkv = jnp.concatenate([cat(dq_parts), cat(dk_parts), cat(dv_parts)],
+                           axis=-1)
+    dqkv2 = dqkv.reshape(NB * T, 3 * H)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        x2, dqkv2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbqkv_ref[...] += jnp.sum(dqkv2, axis=0,
+                              dtype=jnp.float32).reshape(dbqkv_ref.shape)
+    dx_ref[...] = jax.lax.dot_general(
+        dqkv2, wqkv_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(NB, T, H).astype(
+            dx_ref.dtype)
+
+
+def _pick_block_proj(T: int, C: int, nh: int, rows: int,
+                     itemsize: int, bias_grad: bool):
+    """Row-block sizes for the projection-absorbing kernel (fwd, bwd)."""
+    Tl = -(-T // 128) * 128
+    resident = (4 * C * C * itemsize + 4 * C * C * 4
+                + rows * nh * T * Tl * (itemsize + (4 if bias_grad else 0)))
+
+    def pick(bwd):
+        for nb in (64, 32, 16, 8):
+            io = 2 * (2 if bwd else 1) * nb * T * C * itemsize * 2
+            qkv = 4 * nb * T * 3 * C * itemsize + nb * T * 3 * C * 4
+            tmp = (8 if bwd else 4) * nb * T * Tl * 4 + 4 * nb * T * C * 4
+            if io + qkv + tmp + resident <= 24 * 2 ** 20:
+                return nb
+        return 4
+    return pick(False), pick(True)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_proj(nh: int, interpret: bool, bias_grad: bool, NBf: int,
+                NBb: int):
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    def bias_spec(nb, T, rows):
+        if rows <= nb:
+            return pl.BlockSpec((rows, nh, T, T), lambda i: (0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        nbb = rows // nb
+        return pl.BlockSpec((nb, nh, T, T), lambda i: (i % nbb, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def fwd_call(x, mask, wqkv, bqkv, wo, bo):
+        B, T, C = x.shape
+        dh = C // nh
+        return pl.pallas_call(
+            functools.partial(_pfwd_kernel, nh=nh, dh=dh),
+            grid=(B // NBf,),
+            in_specs=[
+                pl.BlockSpec((NBf, T, C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                bias_spec(NBf, T, mask.shape[0]),
+                const_spec(wqkv.shape), const_spec(bqkv.shape),
+                const_spec(wo.shape), const_spec(bo.shape),
+            ],
+            out_specs=pl.BlockSpec((NBf, T, C), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
+            compiler_params=params,
+            interpret=interpret,
+        )(x, mask, wqkv, bqkv, wo, bo)
+
+    def bwd_call(x, mask, wqkv, bqkv, wo, dout):
+        B, T, C = x.shape
+        dh = C // nh
+        rows = mask.shape[0]
+        bias_rows = 0 if not bias_grad else (-1 if rows == B else rows)
+        blk = pl.BlockSpec((NBb, T, C), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+        out_specs = [blk, const_spec(wqkv.shape), const_spec((1, 3 * C)),
+                     const_spec(wo.shape), const_spec((1, C))]
+        out_shape = [jax.ShapeDtypeStruct((B, T, C), x.dtype),
+                     jax.ShapeDtypeStruct(wqkv.shape, jnp.float32),
+                     jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+                     jax.ShapeDtypeStruct(wo.shape, jnp.float32),
+                     jax.ShapeDtypeStruct((1, C), jnp.float32)]
+        if bias_rows == -1:
+            out_specs.append(pl.BlockSpec((NBb, nh, T, T),
+                                          lambda i: (i, 0, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((B, nh, T, T), jnp.float32))
+        elif bias_rows > 0:
+            out_specs.append(pl.BlockSpec((rows, nh, T, T),
+                                          lambda i: (0, 0, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((rows, nh, T, T), jnp.float32))
+        return pl.pallas_call(
+            functools.partial(_pbwd_kernel, nh=nh, dh=dh,
+                              bias_rows=bias_rows),
+            grid=(B // NBb,),
+            in_specs=[
+                blk,
+                bias_spec(NBb, T, rows),
+                const_spec(wqkv.shape), const_spec(bqkv.shape),
+                const_spec(wo.shape),
+                blk,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=params,
+            interpret=interpret,
+        )(x, mask, wqkv, bqkv, wo, dout)
+
+    @jax.custom_vjp
+    def mha(x, mask, wqkv, bqkv, wo, bo):
+        return fwd_call(x, mask, wqkv, bqkv, wo, bo)
+
+    def mha_fwd(x, mask, wqkv, bqkv, wo, bo):
+        return fwd_call(x, mask, wqkv, bqkv, wo, bo), (x, mask, wqkv, bqkv,
+                                                       wo)
+
+    def mha_bwd(res, dout):
+        x, mask, wqkv, bqkv, wo = res
+        outs = bwd_call(x, mask, wqkv, bqkv, wo, dout)
+        dx, dwqkv, dbqkv, dwo, dbo = outs[:5]
+        dmask = outs[5].astype(mask.dtype) if bias_grad else None
+        return (dx, dmask, dwqkv.astype(wqkv.dtype),
+                dbqkv.reshape(-1).astype(bqkv.dtype),
+                dwo.astype(wo.dtype), dbo.reshape(-1).astype(wo.dtype))
+
+    mha.defvjp(mha_fwd, mha_bwd)
+    return mha
+
+
+def fused_mha_proj(x: jnp.ndarray, bias: jnp.ndarray,
+                   wqkv: jnp.ndarray, bqkv: jnp.ndarray,
+                   wo: jnp.ndarray, bo: jnp.ndarray, *, n_heads: int,
+                   bias_grad: bool = True,
+                   interpret: bool = None) -> jnp.ndarray:
+    """(B, T, C) windows -> (B, T, C): QKV projection + biased MHA +
+    output projection in one kernel (Swin windowed attention).
+
+    bias: (P, nh, T, T) f32 additive score bias, cyclic over B (row r gets
+    bias[r % P]); differentiable when bias_grad (the rel-pos table).
+    wqkv (C, 3C), bqkv (3C,), wo (C, C), bo (C,) in the compute dtype.
+    Attention-prob dropout is not supported here (Swin's
+    attention_probs_dropout_prob is 0 in every reference config).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, C = x.shape
+    padT = (-T) % 8
+    m = bias.astype(x.dtype)
+    if padT:
+        # padded key columns: -1e9 (softmax zero); padded query rows are
+        # sliced off and their zero dout contributes nothing to grads
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, padT), (0, padT)),
+                    constant_values=NEG)
+        x = jnp.pad(x, ((0, 0), (0, padT), (0, 0)))
+    Tp = T + padT
+    NBf, NBb = _pick_block_proj(Tp, C, n_heads, m.shape[0],
+                                x.dtype.itemsize, bool(bias_grad))
+    P = m.shape[0]
+
+    def fits(nb):
+        return (P <= nb and nb % P == 0) or (P > nb and P % nb == 0)
+
+    padB = (-B) % max(NBf, NBb)
+    cyclic = P != B
+    if cyclic and not (fits(NBf) and fits(NBb)):
+        m = jnp.take(m, jnp.arange(B) % P, axis=0)
+        cyclic = False
+    if padB:
+        x = jnp.pad(x, ((0, padB), (0, 0), (0, 0)))
+        if not cyclic:
+            m = jnp.pad(m, ((0, padB), (0, 0), (0, 0), (0, 0)))
+    out = _build_proj(n_heads, bool(interpret), bool(bias_grad),
+                      NBf, NBb)(x, m, wqkv, bqkv.reshape(1, -1), wo,
+                                bo.reshape(1, -1))
+    dbg = out[:B, :T] if (padB or padT) else out
+    return dbg

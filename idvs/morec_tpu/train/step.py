@@ -96,7 +96,15 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
             # across chunk boundaries). Falls back to a scan for large k
             # to bound compile time.
             k = flat_ids.shape[0] // chunk
-            ck_fwd = jax.checkpoint(fwd)
+            # save the windowed-attention kernel outputs across the remat
+            # boundary (models/swin.py checkpoint_name 'swin_attn'): the
+            # backward recompute then skips re-running the attention
+            # kernels (~1/3 of their cost at +~250 MB/chunk residency).
+            # Encoders without that name (text) save nothing — identical
+            # to a plain jax.checkpoint.
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "swin_attn")
+            ck_fwd = jax.checkpoint(fwd, policy=policy)
             if k <= 8:
                 outs = [ck_fwd(variables, flat_ids[i * chunk:(i + 1) * chunk],
                                content[i * chunk:(i + 1) * chunk])
@@ -116,8 +124,11 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
         if cfg.remat_encoder:
             # rematerialize the item-encoder activations in backward: trades
             # FLOPs for HBM, letting B*(S) sequences through large encoders
-            # at batch sizes that would otherwise OOM
-            fwd = jax.checkpoint(fwd)
+            # at batch sizes that would otherwise OOM (same saved-attention
+            # policy as the chunked path)
+            fwd = jax.checkpoint(
+                fwd, policy=jax.checkpoint_policies.save_only_these_names(
+                    "swin_attn"))
         return fwd(variables, flat_ids, content), aux
 
     def _as_dropout_key(rng):

@@ -208,3 +208,67 @@ def test_sasrec_fused_attention_matches_xla():
     o_f = m_f.apply(params, x, att_mask, True)
     np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_x),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_mha_proj_matches_xla_composition():
+    """Projection-absorbing Swin kernel == qkv dot + biased softmax + out
+    dot, values AND all grads (x, weights, cyclic trainable bias)."""
+    from idvs.morec_tpu.ops.pallas.attention import fused_mha_proj
+    rng = np.random.default_rng(5)
+    B, T, C, nh, P = 12, 7, 64, 2, 4     # cyclic bias period 4, T pads 7->8
+    dh = C // nh
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((P, nh, T, T)) * 0.3, jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal(3 * C) * 0.1, jnp.float32)
+    wo = jnp.asarray(rng.standard_normal((C, C)) * 0.1, jnp.float32)
+    bo = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+
+    def xla(x, bias, wqkv, bqkv, wo, bo):
+        qkv = jnp.dot(x, wqkv) + bqkv
+        q, k, v = [t.reshape(B, T, nh, dh) for t in jnp.split(qkv, 3, -1)]
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                         preferred_element_type=jnp.float32) / (dh ** 0.5)
+        att = att + bias[jnp.arange(B) % P]
+        p = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, T, C)
+        return jnp.dot(ctx, wo) + bo
+
+    def ker(x, bias, wqkv, bqkv, wo, bo):
+        return fused_mha_proj(x, bias, wqkv, bqkv, wo, bo, n_heads=nh,
+                              bias_grad=True, interpret=True)
+
+    np.testing.assert_allclose(ker(x, bias, wqkv, bqkv, wo, bo),
+                               xla(x, bias, wqkv, bqkv, wo, bo),
+                               rtol=2e-5, atol=2e-5)
+    args = (x, bias, wqkv, bqkv, wo, bo)
+    gk = jax.grad(lambda *a: jnp.sum(jnp.sin(ker(*a))), argnums=tuple(range(6)))(*args)
+    gx = jax.grad(lambda *a: jnp.sum(jnp.sin(xla(*a))), argnums=tuple(range(6)))(*args)
+    for name, a, b in zip(["dx", "dbias", "dwqkv", "dbqkv", "dwo", "dbo"],
+                          gk, gx):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5, err_msg=name)
+
+
+def test_swin_block_proj_kernel_matches_xla():
+    """SwinBlock(fused=True, interpret) == SwinBlock(fused=False), incl.
+    shifted blocks, through the projection-absorbing kernel."""
+    from idvs.morec_tpu.models.swin import SwinBlock, SwinConfig
+    cfg = SwinConfig(embed_dim=32, depths=(2,), num_heads=(2,),
+                     window_size=4, drop_path_rate=0.0)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((3, 64, 32)), jnp.float32)
+    for shift in (False, True):
+        blk_x = SwinBlock(cfg, 32, 2, (8, 8), shift=shift, drop_path=0.0,
+                          fused=False)
+        blk_p = SwinBlock(cfg, 32, 2, (8, 8), shift=shift, drop_path=0.0,
+                          fused=True)
+        params = blk_x.init(jax.random.PRNGKey(0), x)
+        out_x = blk_x.apply(params, x)
+        out_p = blk_p.apply(params, x)
+        np.testing.assert_allclose(out_p, out_x, rtol=3e-5, atol=3e-5)
+        gx = jax.grad(lambda p: jnp.sum(jnp.sin(
+            blk_x.apply(p, x))))(params)
+        gp = jax.grad(lambda p: jnp.sum(jnp.sin(
+            blk_p.apply(p, x))))(params)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            a, b, rtol=1e-4, atol=1e-4), gx, gp)

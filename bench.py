@@ -217,16 +217,20 @@ def main():
     batch0 = pack(raws[0])
     for _ in range(5):
         state, loss = step(state, batch0)
-    jax.block_until_ready(loss)
+    float(loss)
 
     iters = {"text_morec": 10, "text_morec_uniform": 10,
              "vision_morec": 6}.get(config, 30)
 
-    # device-only: re-feed one resident batch
+    # device-only: re-feed one resident batch. End with a D2H read of the
+    # final loss, NOT block_until_ready: on this tunneled platform
+    # block_until_ready can return before the chained computation finishes
+    # (observed: a 915 ms/step program "timed" at 13 ms/step), while a
+    # value read cannot.
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = step(state, batch0)
-    jax.block_until_ready(loss)
+    float(loss)
     dev_dt = time.perf_counter() - t0
 
     # end-to-end: stream distinct host batches through pack() one step ahead
@@ -235,7 +239,7 @@ def main():
     t0 = time.perf_counter()
     for batch in Prefetcher(iter(stream), pack):
         state, loss = step(state, batch)
-    jax.block_until_ready(loss)
+    float(loss)
     e2e_dt = time.perf_counter() - t0
 
     sps = (GB * iters / e2e_dt) / n_chips

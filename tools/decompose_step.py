@@ -16,6 +16,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._timing import drain
+
 B, L, Hh = 128, 20, 512
 S = L + 1
 M = B * S          # 2688 sequences through the encoder
@@ -35,11 +37,11 @@ def time_grad(name, loss_fn, params, iters=20):
     p = params
     for _ in range(3):
         p = step(p)
-    jax.block_until_ready(p)
+    drain(p)
     t0 = time.perf_counter()
     for _ in range(iters):
         p = step(p)
-    jax.block_until_ready(p)
+    drain(p)
     ms = (time.perf_counter() - t0) / iters * 1e3
     print(f"{name:>10}: {ms:8.2f} ms/step")
     return ms

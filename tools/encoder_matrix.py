@@ -20,6 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._timing import drain
+
 B, L, Hh = 128, 20, 512
 M, T = B * (L + 1), 30
 
@@ -67,11 +69,11 @@ def main():
         p = params
         for _ in range(3):
             p = step(p)
-        jax.block_until_ready(p)
+        drain(p)
         t0 = time.perf_counter()
         for _ in range(20):
             p = step(p)
-        jax.block_until_ready(p)
+        drain(p)
         ms = (time.perf_counter() - t0) / 20 * 1e3
         for k in env:
             del os.environ[k]

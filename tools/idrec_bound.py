@@ -25,6 +25,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._timing import drain
+
 ITEM_NUM = 100_000
 L, D = 20, 512
 
@@ -67,11 +69,11 @@ def time_steps(B: int, iters: int = 50) -> float:
     step, state, batch = build_step(B)
     for _ in range(5):
         state, loss = step(state, batch)
-    jax.block_until_ready(loss)
+    drain(loss)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = step(state, batch)
-    jax.block_until_ready(loss)
+    drain(loss)
     return (time.perf_counter() - t0) / iters * 1e3
 
 

@@ -7,6 +7,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._timing import drain
+
 import jax
 import jax.numpy as jnp
 
@@ -19,11 +21,11 @@ def timeit(name, fn, x, iters=30):
     y = x
     for _ in range(3):
         y = fn(y)
-    jax.block_until_ready(y)
+    drain(y)
     t0 = time.perf_counter()
     for _ in range(iters):
         y = fn(y)
-    jax.block_until_ready(y)
+    drain(y)
     ms = (time.perf_counter() - t0) / iters * 1e3
     print(f"{name:>28}: {ms:7.3f} ms")
 

@@ -13,6 +13,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._timing import drain
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -85,11 +87,11 @@ def run(name, kernel):
     y = x
     for _ in range(3):
         y = fn(y)
-    jax.block_until_ready(y)
+    drain(y)
     t0 = time.perf_counter()
     for _ in range(30):
         y = fn(y)
-    jax.block_until_ready(y)
+    drain(y)
     print(f"{name:>8}: {(time.perf_counter()-t0)/30*1e3:7.3f} ms")
 
 
@@ -149,11 +151,11 @@ def run2(name, kernel, with_seed):
     y = x
     for _ in range(3):
         y = fn(y)
-    jax.block_until_ready(y)
+    drain(y)
     t0 = time.perf_counter()
     for _ in range(30):
         y = fn(y)
-    jax.block_until_ready(y)
+    drain(y)
     print(f"{name:>12}: {(time.perf_counter()-t0)/30*1e3:7.3f} ms")
 
 

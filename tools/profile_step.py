@@ -14,6 +14,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._timing import drain
+
 
 def main():
     import jax
@@ -25,13 +27,13 @@ def main():
     batch0 = pack(raws[0])
     for _ in range(3):
         state, loss = step(state, batch0)
-    jax.block_until_ready(loss)
+    drain(loss)
 
     out_dir = os.environ.get("PROFILE_DIR", "/tmp/step_trace")
     with jax.profiler.trace(out_dir):
         for _ in range(5):
             state, loss = step(state, batch0)
-        jax.block_until_ready(loss)
+        drain(loss)
 
     paths = sorted(glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"),
                              recursive=True), key=os.path.getmtime)

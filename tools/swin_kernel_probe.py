@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._timing import drain
+
 N_IMG = 176     # vision bench encoder chunk
 RES = 56        # stage0 feature map (224/4)
 
@@ -97,7 +99,7 @@ def main():
             try:
                 for _ in range(2):
                     x = step(x)
-                jax.block_until_ready(x)
+                drain(x)
             except Exception as e:
                 print(f"s{s} {'shift' if shifted else 'plain':5} {name:5}: "
                       f"FAIL {type(e).__name__}: {str(e)[:120]}", flush=True)
@@ -106,7 +108,7 @@ def main():
             iters = 20
             for _ in range(iters):
                 x = step(x)
-            jax.block_until_ready(x)
+            drain(x)
             ms = (time.perf_counter() - t0) / iters * 1e3
             per_step = ms * n_blocks * 4   # x blocks x 4 chunks
             print(f"s{s} {'shift' if shifted else 'plain':5} {name:5}: "

@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._timing import drain
+
 N = 176   # the vision bench encoder_chunk
 
 
@@ -55,11 +57,11 @@ def main():
         p = params
         for _ in range(2):
             p = step(p)
-        jax.block_until_ready(p)
+        drain(p)
         t0 = time.perf_counter()
         for _ in range(8):
             p = step(p)
-        jax.block_until_ready(p)
+        drain(p)
         ms = (time.perf_counter() - t0) / 8 * 1e3
         for k in env:
             del os.environ[k]

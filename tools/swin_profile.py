@@ -14,6 +14,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._timing import drain
+
 N = 176
 
 
@@ -45,13 +47,13 @@ def main():
     p = params
     for _ in range(2):
         p = step(p)
-    jax.block_until_ready(p)
+    drain(p)
 
     out_dir = os.environ.get("PROFILE_DIR", "/tmp/swin_trace")
     with jax.profiler.trace(out_dir):
         for _ in range(3):
             p = step(p)
-        jax.block_until_ready(p)
+        drain(p)
 
     paths = sorted(glob.glob(os.path.join(out_dir, "**/*.xplane.pb"),
                              recursive=True))

@@ -146,7 +146,10 @@ def _build(config: str):
                  # at 88 vs 893 at 176 — XLA spends less on memory-pressure
                  # copies; tools/swin_profile.py), and k=8 stays within the
                  # unrolled-chunk regime (train/step.py)
-                 encoder_chunk=(B * S) // 8 if vision else 0)
+                 encoder_chunk=int(os.environ.get(
+                     "BENCH_ENCODER_CHUNK", (B * S) // 8 if vision else 0)),
+                 encoder_chunk_unroll=int(os.environ.get(
+                     "BENCH_CHUNK_UNROLL", 8)))
     model = make_model(cfg, item_num=ITEM_NUM, encoder=encoder)
 
     ids0 = jnp.asarray(raws[0][0])

@@ -105,7 +105,7 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
             policy = jax.checkpoint_policies.save_only_these_names(
                 "swin_attn")
             ck_fwd = jax.checkpoint(fwd, policy=policy)
-            if k <= 8:
+            if k <= cfg.encoder_chunk_unroll:
                 outs = [ck_fwd(variables, flat_ids[i * chunk:(i + 1) * chunk],
                                content[i * chunk:(i + 1) * chunk])
                         for i in range(k)]

@@ -97,8 +97,14 @@ def _build(config: str):
     mesh = make_mesh(jax.devices())
     n_chips = int(mesh.devices.size)
     GB = B * n_chips
+    # idrec: 8 train steps per dispatch (unrolled lax.scan inside ONE jit,
+    # identical update semantics — tests/test_multistep_dispatch.py) to
+    # amortize the per-launch dispatch cost that dominates tiny steps
+    # (PARITY.md IDRec bound). 1-chip only here: shard_batch shards axis 0
+    # and the stacked batches carry steps on axis 0.
+    n_steps = 8 if config == "idrec" and n_chips == 1 else 1
     n_raw = 4 if config == "vision_morec" else 10   # 106 MB of images each
-    raws = [_gen_raw(config, seed, GB) for seed in range(n_raw)]
+    raws = [_gen_raw(config, seed, GB * n_steps) for seed in range(n_raw)]
 
     encoder = None
     item_content = None
@@ -172,7 +178,7 @@ def _build(config: str):
                        opt_state=tx.init(params["params"]),
                        dropout_rng=jax.random.PRNGKey(1))
     step = make_train_step(model, cfg, tx, mesh, item_content=item_content,
-                           log_pop=log_pop)
+                           log_pop=log_pop, n_steps=n_steps)
 
     def pack(raw):
         """Host work per step, identical to Trainer.make_batch: dedup
@@ -193,12 +199,15 @@ def _build(config: str):
                 batch["uniq_ids"] = jnp.asarray(up)
                 batch["inverse"] = jnp.asarray(inv.astype(np.int32))
         dev = {"ids": ids, "log_mask": lm}
+        if n_steps > 1:   # leading steps-per-dispatch axis
+            dev = {k: v.reshape((n_steps, GB) + v.shape[1:])
+                   for k, v in dev.items()}
         if len(raw) > 2:   # vision: uint8 images for every item slot
             dev["content"] = raw[2]
         sharded = shard_batch(mesh, dev)
         return sharded | batch
 
-    return step, state, pack, raws, GB, n_chips
+    return step, state, pack, raws, GB * n_steps, n_chips
 
 
 def main():
@@ -216,11 +225,15 @@ def main():
     config = os.environ.get("BENCH_CONFIG", "text_morec")
     step, state, pack, raws, GB, n_chips = _build(config)
 
+    def read(loss):
+        """D2H value read closing a timed loop (scalar or (n_steps,))."""
+        return float(np.asarray(loss).sum())
+
     # warmup (donation triggers a second compile; tunneled platform autotunes)
     batch0 = pack(raws[0])
     for _ in range(5):
         state, loss = step(state, batch0)
-    float(loss)
+    read(loss)
 
     iters = {"text_morec": 10, "text_morec_uniform": 10,
              "vision_morec": 6}.get(config, 30)
@@ -233,7 +246,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = step(state, batch0)
-    float(loss)
+    read(loss)
     dev_dt = time.perf_counter() - t0
 
     # end-to-end: stream distinct host batches through pack() one step ahead
@@ -242,7 +255,7 @@ def main():
     t0 = time.perf_counter()
     for batch in Prefetcher(iter(stream), pack):
         state, loss = step(state, batch)
-    float(loss)
+    read(loss)
     e2e_dt = time.perf_counter() - t0
 
     sps = (GB * iters / e2e_dt) / n_chips

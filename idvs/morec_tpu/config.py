@@ -139,6 +139,14 @@ class Config:
     # Identical Bernoulli semantics and per-seed determinism; draws are
     # backend-dependent (the reference's torch dropout draws differ too).
     dropout_prng: str = "rbg"
+    # Train steps executed per device dispatch (unrolled lax.scan inside one
+    # jit). Identical update semantics to successive single steps
+    # (tests/test_multistep_dispatch.py); amortizes the per-launch dispatch
+    # cost, which only matters when steps are tiny (IDRec: ~0.7 ms dispatch
+    # on a ~5 ms step — PARITY.md IDRec bound). Loss/NaN bookkeeping stays
+    # per-step (the compiled program returns all k losses); logging text and
+    # cadence are unchanged. Leftover batches at epoch end run single-step.
+    steps_per_dispatch: int = 1
     profile_dir: str = ""               # jax.profiler trace dir ('' = off)
 
     def __post_init__(self):

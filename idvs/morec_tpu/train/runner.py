@@ -42,6 +42,31 @@ from .state import (TrainState, default_encoder_predicate, make_optimizer,
 from .step import make_train_step
 
 
+def _dispatch_groups(batches, k: int):
+    """Group a batch stream into lists of k structurally-identical batches
+    for multi-step dispatch (--steps_per_dispatch). Batches whose key sets
+    differ from the group under construction (dedup-capacity fallback drops
+    the uniq keys on overflowing batches) and epoch-tail leftovers are
+    yielded as singletons — the caller runs those through the single-step
+    program, so update semantics never depend on the grouping."""
+    if k <= 1:
+        for b in batches:
+            yield [b]
+        return
+    buf = []
+    for b in batches:
+        if buf and set(b.keys()) != set(buf[0].keys()):
+            for one in buf:
+                yield [one]
+            buf = []
+        buf.append(b)
+        if len(buf) == k:
+            yield buf
+            buf = []
+    for one in buf:
+        yield [one]
+
+
 def _pad_histories(hist_dict: Dict[int, np.ndarray], width: int) -> np.ndarray:
     n = len(hist_dict)
     out = np.zeros((n, width), dtype=np.int64)
@@ -339,6 +364,12 @@ class Trainer:
         self.train_step = make_train_step(self.model, cfg, self.tx, self.mesh,
                                           item_content=self.item_content,
                                           log_pop=self.log_pop)
+        self.train_step_multi = None
+        if cfg.steps_per_dispatch > 1:
+            self.train_step_multi = make_train_step(
+                self.model, cfg, self.tx, self.mesh,
+                item_content=self.item_content, log_pop=self.log_pop,
+                n_steps=cfg.steps_per_dispatch)
 
     # ---------------------------------------------------------------- train
     def _dedup_pack(self, batch: Dict[str, Any], id_arrays) -> None:
@@ -448,37 +479,54 @@ class Trainer:
             now_epoch = start_epoch + ep + 1
             self.log.info(f"epoch {now_epoch} start")
             loss_sum, batch_index = 0.0, 1
+            trace_state = 0   # 0=pending, 1=tracing, 2=done
             # Double-buffered host pipeline: image fetch/transform and dedup
             # packing for the NEXT batch run on a worker thread while the
             # device executes the current step (replaces the reference's
             # 12-worker DataLoader, dataset.py:78-99).
             from ..data.vision_loader import Prefetcher
-            for batch in Prefetcher(self.batcher.epoch(now_epoch),
-                                    self.make_batch):
-                if cfg.profile_dir and ep == 0 and batch_index == 10:
+            for batches in _dispatch_groups(
+                    Prefetcher(self.batcher.epoch(now_epoch), self.make_batch),
+                    cfg.steps_per_dispatch):
+                if (cfg.profile_dir and ep == 0 and batch_index >= 10
+                        and not trace_state):
                     jax.profiler.start_trace(cfg.profile_dir)
-                self.state, loss = self.train_step(self.state, batch)
-                if cfg.profile_dir and ep == 0 and batch_index == 20:
-                    jax.block_until_ready(loss)
+                    trace_state = 1
+                if len(batches) > 1:
+                    # one dispatch runs len(batches) train steps (train/step.py
+                    # n_steps); bookkeeping below stays per-step on the
+                    # returned loss vector
+                    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+                    self.state, losses = self.train_step_multi(self.state,
+                                                               stacked)
+                    losses = [float(x) for x in np.asarray(losses)]
+                else:
+                    self.state, loss = self.train_step(self.state, batches[0])
+                    losses = [float(loss)]
+                if trace_state == 1 and batch_index >= 20:
                     jax.profiler.stop_trace()
-                loss = float(loss)
-                loss_sum += loss
-                if np.isnan(loss):
-                    self.log.info("NaN loss — stopping (run.py:249-251 parity)")
-                    need_break = True
+                    trace_state = 2
+                for loss in losses:
+                    loss_sum += loss
+                    if np.isnan(loss):
+                        self.log.info(
+                            "NaN loss — stopping (run.py:249-251 parity)")
+                        need_break = True
+                        break
+                    if batch_index % steps_for_log == 0:
+                        now = time.time()
+                        sps = (steps_for_log * cfg.batch_size * self.n_shards /
+                               max(now - getattr(self, "_last_log_t",
+                                                 now - 1e-9), 1e-9))
+                        self._last_log_t = now
+                        self.log.info(
+                            "cnt: {}, Ed: {}, batch loss: {:.5f}, sum loss: {:.5f},"
+                            " samples/s: {:.0f}".format(
+                                batch_index, batch_index * cfg.batch_size * self.n_shards,
+                                loss_sum / batch_index, loss_sum, sps))
+                    batch_index += 1
+                if need_break:
                     break
-                if batch_index % steps_for_log == 0:
-                    now = time.time()
-                    sps = (steps_for_log * cfg.batch_size * self.n_shards /
-                           max(now - getattr(self, "_last_log_t", now - 1e-9),
-                               1e-9))
-                    self._last_log_t = now
-                    self.log.info(
-                        "cnt: {}, Ed: {}, batch loss: {:.5f}, sum loss: {:.5f},"
-                        " samples/s: {:.0f}".format(
-                            batch_index, batch_index * cfg.batch_size * self.n_shards,
-                            loss_sum / batch_index, loss_sum, sps))
-                batch_index += 1
 
             if not need_break:
                 eval_start = time.time()

@@ -36,12 +36,24 @@ AXIS = "data"
 
 def make_train_step(model, cfg, tx, mesh: Mesh,
                     item_content=None,
-                    log_pop=None) -> Callable[[TrainState, Dict[str, Any]], tuple]:
+                    log_pop=None,
+                    n_steps: int = 1) -> Callable[[TrainState, Dict[str, Any]], tuple]:
     """Build the compiled train step for the configured variant.
 
     item_content: device-resident catalog (replicated), or None (pure-ID /
                   per-batch content).
     log_pop:      (item_num+1,) log popularity (in-batch CE only).
+    n_steps:      steps per dispatch. >1 returns a fn taking batches whose
+                  leaves carry a leading (n_steps,) axis and running them
+                  sequentially in ONE compiled program (fully-unrolled
+                  lax.scan), returning (state, (n_steps,) losses). Identical
+                  update semantics to n_steps successive calls — it only
+                  amortizes the per-launch dispatch cost (~0.7 ms/step
+                  measured on the tunneled platform), which matters when
+                  steps are tiny: IDRec B=256 32.7k -> 38.9k samples/s/chip
+                  at n_steps=8 (PARITY.md IDRec bound). unroll=True matters:
+                  a scanned (rolled) body re-pays the dispatch-sized cost in
+                  the scan state machine and wins nothing (measured).
     """
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     n_shards = mesh.devices.size
@@ -230,6 +242,18 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
                              params={"params": trainable, **new_aux},
                              opt_state=opt_state), loss
 
+    def _dispatch(raw_step):
+        if n_steps == 1:
+            return jax.jit(raw_step, donate_argnums=(0,))
+
+        def multi_step(state: TrainState, batches):
+            # fully unrolled: the scan while-loop state machine itself costs
+            # ~as much as the dispatch it amortizes at small step sizes
+            # (measured: scanned n_steps=8 IDRec == n_steps=1 wall clock)
+            return jax.lax.scan(raw_step, state, batches, unroll=True)
+
+        return jax.jit(multi_step, donate_argnums=(0,))
+
     if single_device:
         # Plain jit: identical semantics to a 1-shard shard_map (pmean and
         # all_gather over one shard are identity), but avoids shard_map
@@ -243,7 +267,7 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
                                           False, None)
             return _update(state, loss, grads, new_aux)
 
-        return jax.jit(single_step, donate_argnums=(0,))
+        return _dispatch(single_step)
 
     def sharded_step(state: TrainState, batch):
         rng = jax.random.fold_in(state.dropout_rng, state.step)
@@ -263,4 +287,8 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
         in_specs=(P(), P(AXIS)),
         out_specs=(P(), P()),
         check_vma=False)
-    return jax.jit(mapped, donate_argnums=(0,))
+    # n_steps > 1: scan over the leading batch-group axis; each scan
+    # iteration dispatches the shard_map'd step on its (B, ...) slice
+    # (slicing happens outside shard_map, so the per-step in_specs are
+    # unchanged).
+    return _dispatch(mapped)

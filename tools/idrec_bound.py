@@ -27,11 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools._timing import drain
 
-ITEM_NUM = 100_000
+ITEM_NUM = int(os.environ.get("IDREC_ITEMS", 100_000))
 L, D = 20, 512
 
 
-def build_step(B: int):
+def build_step(B: int, n_steps: int = 1):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -59,14 +59,21 @@ def build_step(B: int):
                        opt_state=tx.init(params["params"]),
                        dropout_rng=jax.random.PRNGKey(1))
     step = make_train_step(model, cfg, tx, mesh, item_content=None,
-                           log_pop=jnp.asarray(np.log(pop), jnp.float32))
+                           log_pop=jnp.asarray(np.log(pop), jnp.float32),
+                           n_steps=n_steps)
     batch = shard_batch(mesh, {"ids": ids, "log_mask": lm})
     return step, state, batch
 
 
-def time_steps(B: int, iters: int = 50) -> float:
+def time_steps(B: int, iters: int = 50, n_steps: int = 1) -> float:
+    """ms per TRAIN step (dispatches run n_steps train steps each)."""
     import jax
-    step, state, batch = build_step(B)
+    import jax.numpy as jnp
+    step, state, batch = build_step(B, n_steps)
+    if n_steps > 1:
+        batch = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_steps,) + x.shape), batch)
+        iters = max(1, iters // n_steps)
     for _ in range(5):
         state, loss = step(state, batch)
     drain(loss)
@@ -74,14 +81,20 @@ def time_steps(B: int, iters: int = 50) -> float:
     for _ in range(iters):
         state, loss = step(state, batch)
     drain(loss)
-    return (time.perf_counter() - t0) / iters * 1e3
+    return (time.perf_counter() - t0) / (iters * n_steps) * 1e3
 
 
 def main():
-    bs = [int(a) for a in sys.argv[1:]] or [128, 256, 512, 1024, 2048, 4096]
+    n_steps = 1
+    args = sys.argv[1:]
+    if args and args[0] == "--multi":
+        n_steps = int(args[1])
+        args = args[2:]
+    bs = [int(a) for a in args] or [128, 256, 512, 1024, 2048, 4096]
+    print(f"n_steps/dispatch = {n_steps}")
     print(f"{'B':>6} {'ms/step':>9} {'samples/s/chip':>15}")
     for B in bs:
-        ms = time_steps(B)
+        ms = time_steps(B, n_steps=n_steps)
         print(f"{B:>6} {ms:>9.2f} {B / (ms / 1e3):>15.0f}", flush=True)
 
 

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools._timing import drain
 
-N = 176   # the vision bench encoder_chunk
+N = int(os.environ.get("SWIN_N", 176))   # the vision bench encoder_chunk
 
 
 def main():

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools._timing import drain
 
-N_IMG = 176     # vision bench encoder chunk
+N_IMG = int(os.environ.get("SWIN_N", 176))     # vision bench encoder chunk
 RES = 56        # stage0 feature map (224/4)
 
 # swin-tiny: (C, nh, depth) per stage; window 7

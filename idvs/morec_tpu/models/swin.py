@@ -141,10 +141,6 @@ class SwinBlock(nn.Module):
         Hp, Wp = H + pad_h, W + pad_w
         if s:
             x = jnp.roll(x, (-s, -s), axis=(1, 2))
-        if _os.environ.get("IDVS_SWIN_NO_WIN"):
-            wins = x.reshape(-1, w * w, C)   # ablation: no 6D transpose
-        else:
-            wins = _window_partition(x, w)                   # (B*nW, w*w, C)
 
         # --- windowed attention with relative position bias ---
         # fused QKV weights (one (C, 3C) matrix); ProjParams keeps the
@@ -159,8 +155,8 @@ class SwinBlock(nn.Module):
         kk, bk = ProjParams(C, C, name="key")()
         kv, bv = ProjParams(C, C, name="value")()
         ko, bo = ProjParams(C, C, name="attention_output")()
-        wcat = jnp.concatenate([kq, kk, kv], axis=1).astype(wins.dtype)
-        bcat = jnp.concatenate([bq, bk, bv]).astype(wins.dtype)
+        wcat = jnp.concatenate([kq, kk, kv], axis=1).astype(x.dtype)
+        bcat = jnp.concatenate([bq, bk, bv]).astype(x.dtype)
         table = self.param("relative_position_bias_table",
                            nn.initializers.normal(0.02),
                            ((2 * w - 1) ** 2, nh))
@@ -180,8 +176,33 @@ class SwinBlock(nn.Module):
                 bias = bias + amask[:, None]
             return bias
 
+        # Band edition first: windows form INSIDE the kernel from the
+        # (B, Hp, Wp, C) map, so the window_partition/_window_reverse 6D
+        # transposes (40.9 GB/step of HBM copies in the vision bench,
+        # PARITY.md) never exist. Falls back to the window-layout kernel
+        # when the band blocking can't satisfy divisibility/VMEM.
+        out4 = None
+        if (use_fused and p_drop == 0.0
+                and not _os.environ.get("IDVS_SWIN_NO_ATTN")
+                and not _os.environ.get("IDVS_SWIN_NO_WIN")
+                and not _os.environ.get("IDVS_SWIN_NO_BAND")):
+            from ..ops.pallas.attention import fused_mha_proj_band
+            out4 = fused_mha_proj_band(x, rel_bias(), wcat, bcat,
+                                       ko.astype(x.dtype),
+                                       bo.astype(x.dtype),
+                                       n_heads=nh, window=w,
+                                       bias_grad=True, interpret=interp)
+        if out4 is not None:
+            wins = None
+        elif _os.environ.get("IDVS_SWIN_NO_WIN"):
+            wins = x.reshape(-1, w * w, C)   # ablation: no 6D transpose
+        else:
+            wins = _window_partition(x, w)                   # (B*nW, w*w, C)
+
         projected = False
-        if _os.environ.get("IDVS_SWIN_NO_ATTN"):
+        if out4 is not None:
+            pass
+        elif _os.environ.get("IDVS_SWIN_NO_ATTN"):
             qkv = jnp.dot(wins, wcat) + bcat
             q, k, v = jnp.split(qkv, 3, axis=-1)
             out = q + k + v                           # ablation: identity
@@ -224,19 +245,26 @@ class SwinBlock(nn.Module):
             p = nn.Dropout(c.attention_probs_dropout_prob,
                            deterministic=deterministic)(p)
             out = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(-1, w * w, C)
-        if not projected:
-            out = jnp.dot(out, ko.astype(out.dtype)) + bo.astype(out.dtype)
-        # name the attention result for the chunked-remat policy: the
-        # backward recompute re-runs everything EXCEPT these saved outputs,
-        # so the windowed-attention kernel runs twice per step, not three
-        # times (train/step.py save_only_these_names('swin_attn'))
-        out = _ckpt_name(out, "swin_attn")
-        out = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(out)
-
-        if _os.environ.get("IDVS_SWIN_NO_WIN"):
-            x = out.reshape(B, Hp, Wp, C)
+        if out4 is not None:
+            # band kernel output is already (B, Hp, Wp, C) — no reverse
+            x = _ckpt_name(out4, "swin_attn")
+            x = nn.Dropout(c.hidden_dropout_prob,
+                           deterministic=deterministic)(x)
         else:
-            x = _window_reverse(out, w, Hp, Wp)
+            if not projected:
+                out = jnp.dot(out, ko.astype(out.dtype)) + bo.astype(out.dtype)
+            # name the attention result for the chunked-remat policy: the
+            # backward recompute re-runs everything EXCEPT these saved
+            # outputs, so the windowed-attention kernel runs twice per
+            # step, not three times
+            # (train/step.py save_only_these_names('swin_attn'))
+            out = _ckpt_name(out, "swin_attn")
+            out = nn.Dropout(c.hidden_dropout_prob,
+                             deterministic=deterministic)(out)
+            if _os.environ.get("IDVS_SWIN_NO_WIN"):
+                x = out.reshape(B, Hp, Wp, C)
+            else:
+                x = _window_reverse(out, w, Hp, Wp)
         if s:
             x = jnp.roll(x, (s, s), axis=(1, 2))
         if pad_h or pad_w:

@@ -523,11 +523,67 @@ def _pfwd_kernel(x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                            bo_ref).reshape(NB, T, H).astype(out_ref.dtype)
 
 
+def _attn_grads(qkv, saved, dctx, nh, dh, write_dbias):
+    """dqkv (NB, T, 3H) of the biased-softmax attention from the forward's
+    saved per-head probs. write_dbias(h, dscores) receives each head's f32
+    (NB, T, T) score cotangent — the caller owns the bias-gradient layout
+    (full rows / cyclic fold / band slice)."""
+    NB, T, H3 = qkv.shape
+    H = H3 // 3
+    scale = 1.0 / math.sqrt(dh)
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for gi, (h0, gh) in enumerate(_head_groups(nh, dh)):
+        base = h0 * dh
+        W = gh * dh
+        qg = qkv[:, :, base:base + W]
+        kg = qkv[:, :, H + base:H + base + W]
+        vg = qkv[:, :, 2 * H + base:2 * H + base + W]
+        dctxg = dctx[:, :, base:base + W]
+        dq_acc = dk_acc = dv_acc = None
+        for j in range(gh):
+            probs = saved[gi][j]
+            probs_c = probs.astype(qkv.dtype)
+            sel = _lane_sel(j, dh, W, qg.dtype) if gh > 1 else None
+            qj = qg * sel if gh > 1 else qg
+            dctxj = dctxg * sel if gh > 1 else dctxg
+            dv = jax.lax.dot_general(
+                probs_c, dctxj, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dprobs = jax.lax.dot_general(
+                dctxj, vg, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                                keepdims=True))
+            write_dbias(h0 + j, dscores)
+            dscores = (dscores * scale).astype(qkv.dtype)
+            kj = kg * sel if gh > 1 else kg
+            dq = jax.lax.dot_general(
+                dscores, kj, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
+                dscores, qj, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            if dq_acc is None:
+                dq_acc, dk_acc, dv_acc = dq, dk, dv
+            else:
+                dq_acc, dk_acc, dv_acc = (dq_acc + dq, dk_acc + dk,
+                                          dv_acc + dv)
+        dt = qkv.dtype
+        dq_parts.append(dq_acc.astype(dt))
+        dk_parts.append(dk_acc.astype(dt))
+        dv_parts.append(dv_acc.astype(dt))
+
+    def cat(parts):
+        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+    return jnp.concatenate([cat(dq_parts), cat(dk_parts), cat(dv_parts)],
+                           axis=-1)
+
+
 def _pbwd_kernel(x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, dout_ref,
                  dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
                  *dbias_ref, nh, dh, bias_rows):
     NB, T, H = x_ref.shape
-    scale = 1.0 / math.sqrt(dh)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -555,61 +611,18 @@ def _pbwd_kernel(x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, dout_ref,
         preferred_element_type=jnp.float32).astype(qkv.dtype)
     dctx = dctx.reshape(NB, T, H)
 
-    dq_parts, dk_parts, dv_parts = [], [], []
-    for gi, (h0, gh) in enumerate(_head_groups(nh, dh)):
-        base = h0 * dh
-        W = gh * dh
-        qg = qkv[:, :, base:base + W]
-        kg = qkv[:, :, H + base:H + base + W]
-        vg = qkv[:, :, 2 * H + base:2 * H + base + W]
-        dctxg = dctx[:, :, base:base + W]
-        dq_acc = dk_acc = dv_acc = None
-        for j in range(gh):
-            probs = saved[gi][j]
-            probs_c = probs.astype(qkv.dtype)
-            sel = _lane_sel(j, dh, W, qg.dtype) if gh > 1 else None
-            qj = qg * sel if gh > 1 else qg
-            dctxj = dctxg * sel if gh > 1 else dctxg
-            dv = jax.lax.dot_general(
-                probs_c, dctxj, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            dprobs = jax.lax.dot_general(
-                dctxj, vg, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
-                                                keepdims=True))
-            if bias_rows == -1:
-                dbias_ref[0][:, h0 + j] = dscores
-            elif bias_rows > NB:
-                dbias_ref[0][pl.ds(row0, NB), h0 + j] += dscores
-            elif bias_rows == 1:
-                dbias_ref[0][0, h0 + j] += jnp.sum(dscores, axis=0)
-            elif bias_rows > 0:
-                folded = dscores.reshape(NB // bias_rows, bias_rows, T, T)
-                dbias_ref[0][:, h0 + j] += jnp.sum(folded, axis=0)
-            dscores = (dscores * scale).astype(qkv.dtype)
-            kj = kg * sel if gh > 1 else kg
-            dq = jax.lax.dot_general(
-                dscores, kj, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            dk = jax.lax.dot_general(
-                dscores, qj, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            if dq_acc is None:
-                dq_acc, dk_acc, dv_acc = dq, dk, dv
-            else:
-                dq_acc, dk_acc, dv_acc = (dq_acc + dq, dk_acc + dk,
-                                          dv_acc + dv)
-        dt = qkv.dtype
-        dq_parts.append(dq_acc.astype(dt))
-        dk_parts.append(dk_acc.astype(dt))
-        dv_parts.append(dv_acc.astype(dt))
+    def write_dbias(h, dscores):
+        if bias_rows == -1:
+            dbias_ref[0][:, h] = dscores
+        elif bias_rows > NB:
+            dbias_ref[0][pl.ds(row0, NB), h] += dscores
+        elif bias_rows == 1:
+            dbias_ref[0][0, h] += jnp.sum(dscores, axis=0)
+        elif bias_rows > 0:
+            folded = dscores.reshape(NB // bias_rows, bias_rows, T, T)
+            dbias_ref[0][:, h] += jnp.sum(folded, axis=0)
 
-    def cat(parts):
-        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
-
-    dqkv = jnp.concatenate([cat(dq_parts), cat(dk_parts), cat(dv_parts)],
-                           axis=-1)
+    dqkv = _attn_grads(qkv, saved, dctx, nh, dh, write_dbias)
     dqkv2 = dqkv.reshape(NB * T, 3 * H)
     dwqkv_ref[...] += jax.lax.dot_general(
         x2, dqkv2, (((0,), (0,)), ((), ())),
@@ -789,3 +802,340 @@ def fused_mha_proj(x: jnp.ndarray, bias: jnp.ndarray,
                                 bo.reshape(1, -1))
     dbg = out[:B, :T] if (padB or padT) else out
     return dbg
+
+
+# ---------------------------------------------------------------------------
+# Band edition (Swin windowed attention WITHOUT window partition).
+#
+# Why: the projection-absorbing kernel still receives windows formed by
+# XLA's 6D reshape+transpose (window_partition / window_reverse), and those
+# transposes are materialized HBM copies of every attention activation in
+# forward, backward, AND the chunked remat's recompute — 40.9 GB/step of
+# the vision bench's 55.6 GB copy traffic (optimized-HLO audit, PARITY.md).
+# This edition consumes the feature map in its NATURAL (N, H, W, C) layout:
+# each grid step DMAs a band of window rows (ni images x br*w rows x W),
+# projects QKV on the raster-order rows, forms windows with an in-VMEM
+# sublane permute (bytes never leave VMEM), runs the same biased MHA, and
+# writes the context back in (N, H, W, C). The residual stream then keeps
+# ONE layout end to end — the window transposes, their remat recomputes,
+# and the layout-mismatch copies they induce around LayerNorm all vanish.
+#
+# The cyclic shift (jnp.roll) stays in XLA: BlockSpec index maps cannot
+# wrap, and rolls are 1.3 of the 55.6 GB. Shifted blocks pass the rolled
+# map and the (nW, nh, T, T) shift+rel-pos bias; band b's windows read bias
+# rows [b*nwc, (b+1)*nwc) — a contiguous block slice.
+# ---------------------------------------------------------------------------
+
+
+def _win_form(a2, ni_br, w, nwc, Cx):
+    """(rows, Cx) raster rows -> (NW, w*w, Cx) windows (in-VMEM permute)."""
+    a = a2.reshape(ni_br, w, nwc, w, Cx)
+    if nwc > 1:
+        a = a.transpose(0, 2, 1, 3, 4)
+    return a.reshape(ni_br * nwc, w * w, Cx)
+
+
+def _win_unform(a, ni_br, w, nwc, Cx):
+    """(NW, w*w, Cx) windows -> (rows, Cx) raster rows."""
+    a = a.reshape(ni_br, nwc, w, w, Cx)
+    if nwc > 1:
+        a = a.transpose(0, 2, 1, 3, 4)
+    return a.reshape(ni_br * w * nwc * w, Cx)
+
+
+def _bfwd_kernel(x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                 out_ref, *, nh, dh, w, nwc):
+    ni, bh, Wp, C = x_ref.shape
+    ni_br = ni * (bh // w)
+    x2 = x_ref[...].reshape(ni * bh * Wp, C)
+    qkv2 = _p_proj(x2, wqkv_ref, bqkv_ref)
+    qkv = _win_form(qkv2, ni_br, w, nwc, 3 * C)
+    ctx = _p_attention(qkv, mask_ref, nh, dh)
+    ctx2 = _win_unform(ctx, ni_br, w, nwc, C)
+    out2 = _p_proj(ctx2, wo_ref, bo_ref)
+    out_ref[...] = out2.reshape(x_ref.shape).astype(out_ref.dtype)
+
+
+def _bbwd_kernel(x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, dout_ref,
+                 dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+                 *dbias_ref, nh, dh, w, nwc, br, bias_mode):
+    ni, bh, Wp, C = x_ref.shape
+    ni_br = ni * br
+    rows = ni * bh * Wp
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+        if bias_mode:
+            dbias_ref[0][...] = jnp.zeros_like(dbias_ref[0])
+    if bias_mode == "band":
+        # band_blocks = bands_total // br; grid is (img_blocks*band_blocks,)
+        # band-major-minor: band block index = program_id % band_blocks
+        nrows = dbias_ref[0].shape[0]           # nW
+        band_blocks = nrows // (br * nwc)
+        row0 = (pl.program_id(0) % band_blocks) * br * nwc
+
+    x2 = x_ref[...].reshape(rows, C)
+    qkv = _p_proj(x2, wqkv_ref, bqkv_ref)
+    qkv = _win_form(qkv, ni_br, w, nwc, 3 * C)
+    ctx, saved = _p_attention(qkv, mask_ref, nh, dh, want=True)
+    ctx2 = _win_unform(ctx, ni_br, w, nwc, C)
+
+    dout2 = dout_ref[...].reshape(rows, C)
+    dwo_ref[...] += jax.lax.dot_general(
+        ctx2, dout2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbo_ref[...] += jnp.sum(dout2, axis=0,
+                            dtype=jnp.float32).reshape(dbo_ref.shape)
+    dctx2 = jax.lax.dot_general(
+        dout2, wo_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(qkv.dtype)
+    dctx = _win_form(dctx2, ni_br, w, nwc, C)
+
+    T = w * w
+    NW = ni_br * nwc
+    pw = br * nwc                               # bias rows per band block
+
+    def write_dbias(h, dscores):
+        if bias_mode == "const":
+            dbias_ref[0][0, h] += jnp.sum(dscores, axis=0)
+        elif bias_mode == "band":
+            folded = jnp.sum(dscores.reshape(NW // pw, pw, T, T), axis=0)
+            dbias_ref[0][pl.ds(row0, pw), h] += folded
+
+    dqkv = _attn_grads(qkv, saved, dctx, nh, dh, write_dbias)
+    dqkv2 = _win_unform(dqkv, ni_br, w, nwc, 3 * C)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        x2, dqkv2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbqkv_ref[...] += jnp.sum(dqkv2, axis=0,
+                              dtype=jnp.float32).reshape(dbqkv_ref.shape)
+    dx_ref[...] = jax.lax.dot_general(
+        dqkv2, wqkv_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(x_ref.shape).astype(
+            dx_ref.dtype)
+
+
+def _pick_band(N: int, bands_total: int, w: int, Wp: int, C: int, nh: int,
+               P: int, itemsize: int, bias_grad: bool):
+    """(ni, br) for the band kernel: ni images x br window-rows per grid
+    step. Constraints: divisibility, raster rows a sublane multiple (the
+    in-kernel (ni, bh, Wp, C) -> (rows, C) collapse must be a retile-free
+    view), and the backward's VMEM footprint (saved per-head probs dominate
+    at large nh). Prefers the largest window count <= 32 that fits; returns
+    None when no candidate exists (caller falls back to the window-layout
+    kernel)."""
+    nwc = Wp // w
+    T = w * w
+    T8 = -(-T // 8) * 8
+    Tl = -(-T // 128) * 128
+    Cl = -(-C // 128) * 128
+    W8 = -(-Wp // 8) * 8
+    resident = 4 * C * Cl * itemsize + 4 * C * Cl * 4
+    if bias_grad:
+        resident += P * nh * T8 * Tl * 4        # dbias accumulator
+    if P > 1:
+        pass                                    # bias blocks counted per-cand
+    best = None
+    for ni in range(1, N + 1):
+        if N % ni:
+            continue
+        for br in range(1, bands_total + 1):
+            if bands_total % br:
+                continue
+            rows = ni * br * w * Wp
+            if rows % 8:
+                continue
+            NW = ni * br * nwc
+            if NW > 32:
+                continue
+            io = 2 * 2 * ni * (br * w) * W8 * Cl * itemsize   # x + out/dout
+            io += 2 * ni * (br * w) * W8 * Cl * itemsize      # dx out
+            qkvb = 2 * NW * T8 * 3 * Cl * (itemsize + 4)      # qkv + f32 stage
+            probs = (nh + 6) * NW * T8 * Tl * 4               # saved + temps
+            bias = (min(P, br * nwc) * nh * T8 * Tl * itemsize * 2)
+            if io + qkvb + probs + bias + resident > 20 * 2 ** 20:
+                continue
+            if best is None or NW > best[2] or (NW == best[2]
+                                                and ni < best[0]):
+                best = (ni, br, NW)
+    return None if best is None else best[:2]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_band(nh: int, interpret: bool, bias_grad: bool, ni: int, br: int,
+                w: int, nwc: int):
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
+    T = w * w
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    def fwd_call(x, mask, wqkv, bqkv, wo, bo):
+        N, Hp, Wp, C = x.shape
+        dh = C // nh
+        band_blocks = Hp // (br * w)
+        grid = (N // ni) * band_blocks
+        blk = pl.BlockSpec((ni, br * w, Wp, C),
+                           lambda i: (i // band_blocks, i % band_blocks,
+                                      0, 0),
+                           memory_space=pltpu.VMEM)
+        P = mask.shape[0]
+        if P == 1:
+            mspec = const_spec(mask.shape)
+        else:
+            mspec = pl.BlockSpec((br * nwc, nh, T, T),
+                                 lambda i: (i % band_blocks, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_bfwd_kernel, nh=nh, dh=dh, w=w, nwc=nwc),
+            grid=(grid,),
+            in_specs=[blk, mspec, const_spec(wqkv.shape),
+                      const_spec(bqkv.shape), const_spec(wo.shape),
+                      const_spec(bo.shape)],
+            out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            compiler_params=params,
+            interpret=interpret,
+        )(x, mask, wqkv, bqkv, wo, bo)
+
+    def bwd_call(x, mask, wqkv, bqkv, wo, dout):
+        N, Hp, Wp, C = x.shape
+        dh = C // nh
+        band_blocks = Hp // (br * w)
+        grid = (N // ni) * band_blocks
+        blk = pl.BlockSpec((ni, br * w, Wp, C),
+                           lambda i: (i // band_blocks, i % band_blocks,
+                                      0, 0),
+                           memory_space=pltpu.VMEM)
+        P = mask.shape[0]
+        if P == 1:
+            mspec = const_spec(mask.shape)
+            bias_mode = "const" if bias_grad else ""
+        else:
+            mspec = pl.BlockSpec((br * nwc, nh, T, T),
+                                 lambda i: (i % band_blocks, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            bias_mode = "band" if bias_grad else ""
+        out_specs = [blk, const_spec(wqkv.shape), const_spec((1, 3 * C)),
+                     const_spec(wo.shape), const_spec((1, C))]
+        out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype),
+                     jax.ShapeDtypeStruct(wqkv.shape, jnp.float32),
+                     jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+                     jax.ShapeDtypeStruct(wo.shape, jnp.float32),
+                     jax.ShapeDtypeStruct((1, C), jnp.float32)]
+        if bias_mode:
+            out_specs.append(const_spec(mask.shape))
+            out_shape.append(
+                jax.ShapeDtypeStruct(mask.shape, jnp.float32))
+        return pl.pallas_call(
+            functools.partial(_bbwd_kernel, nh=nh, dh=dh, w=w, nwc=nwc,
+                              br=br, bias_mode=bias_mode),
+            grid=(grid,),
+            in_specs=[blk, mspec, const_spec(wqkv.shape),
+                      const_spec(bqkv.shape), const_spec(wo.shape), blk],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=params,
+            interpret=interpret,
+        )(x, mask, wqkv, bqkv, wo, dout)
+
+    @jax.custom_vjp
+    def mha(x, mask, wqkv, bqkv, wo, bo):
+        return fwd_call(x, mask, wqkv, bqkv, wo, bo)
+
+    def mha_fwd(x, mask, wqkv, bqkv, wo, bo):
+        return fwd_call(x, mask, wqkv, bqkv, wo, bo), (x, mask, wqkv, bqkv,
+                                                       wo)
+
+    def mha_bwd(res, dout):
+        x, mask, wqkv, bqkv, wo = res
+        outs = bwd_call(x, mask, wqkv, bqkv, wo, dout)
+        dx, dwqkv, dbqkv, dwo, dbo = outs[:5]
+        dmask = outs[5].astype(mask.dtype) if bias_grad else None
+        return (dx, dmask, dwqkv.astype(wqkv.dtype),
+                dbqkv.reshape(-1).astype(bqkv.dtype),
+                dwo.astype(wo.dtype), dbo.reshape(-1).astype(wo.dtype))
+
+    mha.defvjp(mha_fwd, mha_bwd)
+    return mha
+
+
+def _pad_window_bias(bias, w, wp):
+    """(P, nh, w², w²) -> (P, nh, wp², wp²) for windows padded from (w, w)
+    to (wp, wp). Live (q, k) pairs keep their bias; dead-key columns get
+    NEG (softmax-zero); dead-query rows keep the gathered values (their
+    probs are garbage on pad rows the caller slices off — and their
+    dscores are exactly 0 in backward because their dout is 0). Built from
+    differentiable gathers, so the rel-pos table's gradient flows through
+    a scatter-add outside the kernel."""
+    idx = jnp.arange(wp * wp)
+    yi, xi = idx // wp, idx % wp
+    live = (yi < w) & (xi < w)
+    q49 = jnp.where(live, yi * w + xi, 0)
+    out = bias[:, :, q49[:, None], q49[None, :]]
+    return jnp.where(live[None, None, None, :], out, NEG)
+
+
+def fused_mha_proj_band(x: jnp.ndarray, bias: jnp.ndarray,
+                        wqkv: jnp.ndarray, bqkv: jnp.ndarray,
+                        wo: jnp.ndarray, bo: jnp.ndarray, *, n_heads: int,
+                        window: int, bias_grad: bool = True,
+                        interpret: bool = None):
+    """(N, H, W, C) feature map -> (N, H, W, C): QKV projection + biased
+    windowed MHA + output projection in one kernel, windows formed INSIDE
+    the kernel (no window_partition / window_reverse transposes in HBM).
+
+    Mosaic only supports in-kernel shape casts whose second-to-last dim
+    stays a sublane (8) multiple, so w=7 windows are padded to 8x8 on the
+    way in: the pad/slice are XLA *fusable* memory ops (they ride the
+    neighboring LayerNorm/residual loop fusions), unlike the partition
+    transposes they replace, which are materialized HBM copies. Dead
+    tokens carry NEG key bias (exact softmax zero) and their query rows
+    are sliced off with zero cotangents — bit-equivalent math to the
+    window-layout kernel.
+
+    bias: (P, nh, w², w²) f32 additive score bias with P == 1 (plain
+    windows: the rel-pos table) or P == nW (shifted: rel-pos + shift mask,
+    window-raster order); differentiable when bias_grad. Caller applies the
+    cyclic roll for shifted blocks. Returns None when no (ni, br) band
+    blocking satisfies the divisibility/VMEM constraints — the caller
+    should fall back to the window-layout `fused_mha_proj`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, Hp, Wp, C = x.shape
+    w = window
+    if Hp % w or Wp % w:
+        return None
+    nwc = Wp // w
+    bands_total = Hp // w
+    nW = nwc * bands_total
+    P = bias.shape[0]
+    if P not in (1, nW):
+        return None
+    wp = -(-w // 8) * 8
+    pick = _pick_band(N, bands_total, wp, nwc * wp, C, n_heads, P,
+                      x.dtype.itemsize, bool(bias_grad))
+    if pick is None:
+        return None
+    ni, br = pick
+    if wp != w:
+        pw = wp - w
+        x6 = x.reshape(N, bands_total, w, nwc, w, C)
+        x6 = jnp.pad(x6, ((0, 0), (0, 0), (0, pw), (0, 0), (0, pw), (0, 0)))
+        x = x6.reshape(N, bands_total * wp, nwc * wp, C)
+        bias = _pad_window_bias(bias, w, wp)
+    m = bias.astype(x.dtype)
+    out = _build_band(n_heads, bool(interpret), bool(bias_grad), ni, br,
+                      wp, nwc)(x, m, wqkv, bqkv.reshape(1, -1), wo,
+                               bo.reshape(1, -1))
+    if wp != w:
+        out = out.reshape(N, bands_total, wp, nwc, wp, C)[:, :, :w, :, :w]
+        out = out.reshape(N, Hp, Wp, C)
+    return out

@@ -272,3 +272,57 @@ def test_swin_block_proj_kernel_matches_xla():
             blk_p.apply(p, x))))(params)
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             a, b, rtol=1e-4, atol=1e-4), gx, gp)
+
+
+@pytest.mark.parametrize("P_mode", ["plain", "shift"])
+def test_fused_mha_proj_band_matches_xla_composition(P_mode):
+    """Band kernel (windows formed in-kernel from the (N,H,W,C) map) ==
+    window_partition + qkv dot + biased softmax + out dot + window_reverse,
+    values AND all grads. Exercises multi-image blocks, band slicing of the
+    cyclic bias, and the dbias band accumulation."""
+    from idvs.morec_tpu.ops.pallas.attention import fused_mha_proj_band
+    rng = np.random.default_rng(11)
+    N, Hp, Wp, w, C, nh = 8, 28, 14, 7, 64, 2
+    nwc, bands = Wp // w, Hp // w
+    nW = nwc * bands
+    T = w * w
+    P = 1 if P_mode == "plain" else nW
+    dh = C // nh
+    x = jnp.asarray(rng.standard_normal((N, Hp, Wp, C)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((P, nh, T, T)) * 0.3, jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal(3 * C) * 0.1, jnp.float32)
+    wo = jnp.asarray(rng.standard_normal((C, C)) * 0.1, jnp.float32)
+    bo = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+
+    def xla(x, bias, wqkv, bqkv, wo, bo):
+        wins = x.reshape(N, bands, w, nwc, w, C).transpose(0, 1, 3, 2, 4, 5)
+        wins = wins.reshape(N * nW, T, C)
+        qkv = jnp.dot(wins, wqkv) + bqkv
+        q, k, v = [t.reshape(-1, T, nh, dh) for t in jnp.split(qkv, 3, -1)]
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                         preferred_element_type=jnp.float32) / (dh ** 0.5)
+        att = att + bias[jnp.arange(N * nW) % P]
+        p = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(-1, T, C)
+        out = jnp.dot(ctx, wo) + bo
+        out = out.reshape(N, bands, nwc, w, w, C).transpose(0, 1, 3, 2, 4, 5)
+        return out.reshape(N, Hp, Wp, C)
+
+    def ker(x, bias, wqkv, bqkv, wo, bo):
+        out = fused_mha_proj_band(x, bias, wqkv, bqkv, wo, bo, n_heads=nh,
+                                  window=w, bias_grad=True, interpret=True)
+        assert out is not None
+        return out
+
+    np.testing.assert_allclose(ker(x, bias, wqkv, bqkv, wo, bo),
+                               xla(x, bias, wqkv, bqkv, wo, bo),
+                               rtol=2e-5, atol=2e-5)
+    args = (x, bias, wqkv, bqkv, wo, bo)
+    gk = jax.grad(lambda *a: jnp.sum(jnp.sin(ker(*a))),
+                  argnums=tuple(range(6)))(*args)
+    gx = jax.grad(lambda *a: jnp.sum(jnp.sin(xla(*a))),
+                  argnums=tuple(range(6)))(*args)
+    for name, a, b in zip(["dx", "dbias", "dwqkv", "dbqkv", "dwo", "dbo"],
+                          gk, gx):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5, err_msg=name)

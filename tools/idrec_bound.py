@@ -44,7 +44,11 @@ def build_step(B: int, n_steps: int = 1):
     mesh = make_mesh(jax.devices())
     cfg = Config(item_tower="id", loss="inbatch_ce", max_seq_len=L,
                  embedding_dim=D, batch_size=B, num_attention_heads=2,
-                 transformer_block=2, lr=1e-4)
+                 transformer_block=2, lr=1e-4,
+                 # IDREC_PALLAS=1: route the loss through the fused flash-CE
+                 # kernel (ops/pallas/inbatch_ce.py) — A/B for the quadratic
+                 # (B(L+1))^2 score/softmax temps that dominate past B=512
+                 use_pallas=bool(os.environ.get("IDREC_PALLAS")))
     model = make_model(cfg, item_num=ITEM_NUM, encoder=None)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(1, ITEM_NUM + 1, size=(B, L + 1),

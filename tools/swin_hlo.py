@@ -1,29 +1,24 @@
-"""Trace ONE Swin-tiny chunk (SWIN_N images, fwd+bwd) and print the hot ops.
+"""Dump the optimized HLO of the tools/swin_matrix.py base step (the
+SWIN_N-image Swin-tiny fwd+bwd chunk) so trace op names (fusion.N,
+copy.N) can be mapped back to HLO instructions with shapes.
 
-Same computation as tools/swin_matrix.py base; writes an xplane trace and
-runs tools/trace_summary.py over it.
-
-Usage: python tools/swin_profile.py [top_n]
+Usage: SWIN_N=88 python tools/swin_hlo.py /tmp/swin_step.hlo
 """
 
 from __future__ import annotations
 
-import glob
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools._timing import drain
-
-N = int(os.environ.get("SWIN_N", 176))
+N = int(os.environ.get("SWIN_N", 88))
 
 
 def main():
     import jax
     import jax.numpy as jnp
     from idvs.morec_tpu.models.swin import SwinConfig, SwinModel
-    from tools import trace_summary
 
     key = jax.random.PRNGKey(0)
     imgs = jax.random.normal(key, (N, 224, 224, 3), jnp.bfloat16)
@@ -44,22 +39,11 @@ def main():
         g = jax.grad(loss)(p)
         return jax.tree.map(lambda a, b: a - 1e-30 * b.astype(a.dtype), p, g)
 
-    p = params
-    for _ in range(2):
-        p = step(p)
-    drain(p)
-
-    out_dir = os.environ.get("PROFILE_DIR", "/tmp/swin_trace")
-    with jax.profiler.trace(out_dir):
-        for _ in range(3):
-            p = step(p)
-        drain(p)
-
-    paths = sorted(glob.glob(os.path.join(out_dir, "**/*.xplane.pb"),
-                             recursive=True))
-    top_n = sys.argv[1] if len(sys.argv) > 1 else "30"
-    sys.argv = [sys.argv[0], paths[-1], top_n]
-    trace_summary.main()
+    txt = step.lower(params).compile().as_text()
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/swin_step.hlo"
+    with open(out, "w") as f:
+        f.write(txt)
+    print(f"wrote {len(txt)} bytes to {out}")
 
 
 if __name__ == "__main__":

@@ -34,7 +34,10 @@ inbatch_sasrec_e2e_vision/train_swin_tiny.py:11-26); uint8 images are
 streamed per step (device-side normalize), encoder microbatched via
 --encoder_chunk to fit 16 GB HBM. Baseline: ~800 img/s Swin-tiny AMP
 training on A100 (typical published rate) / 11 images per sample = ~73
-samples/s/GPU, x3.
+samples/s/GPU, x3. BENCH_CONFIG=vision_morec_zipf applies the text
+headline's methodology to vision: Zipf(1.2) ids + --dedup_items, so each
+batch fetches and encodes only its ~270 unique images instead of all 704
+slots (retail catalogs are as heavy-tailed as news).
 """
 
 import json
@@ -48,6 +51,7 @@ BASELINE_SPS = {
     "text_morec_uniform": 3 * 550.0,
     "idrec": 75_000.0,                # 3x estimated A100 for the ID model
     "vision_morec": 3 * 73.0,         # 3x estimated A100 Swin-tiny rate
+    "vision_morec_zipf": 3 * 73.0,    # same target, Zipf ids + dedup
 }
 
 # geometry per config: (item_num, batch/chip, max_seq_len, embedding_dim)
@@ -60,6 +64,10 @@ GEOM = {
     # (tools/idrec_bound.py measurement, PARITY.md)
     "idrec": (100_000, 256, 20, 512),
     "vision_morec": (100_000, 64, 10, 2048),
+    # Zipf ids + --dedup_items: the text headline's methodology applied to
+    # vision (HM purchase catalogs are heavy-tailed like MIND's); each
+    # unique image is fetched + encoded once per batch (~270 of 704 slots)
+    "vision_morec_zipf": (100_000, 64, 10, 2048),
 }
 ITEM_NUM, B, L, D = GEOM[os.environ.get("BENCH_CONFIG", "text_morec")]
 S = L + 1
@@ -69,7 +77,7 @@ RESIZE = 224
 def _gen_raw(config: str, seed: int, GB: int):
     """One host batch exactly as the TrainBatcher would emit it."""
     rng = np.random.default_rng(seed)
-    if config == "text_morec":
+    if config in ("text_morec", "vision_morec_zipf"):
         # heavy-tailed catalog popularity (real recsys distribution)
         ids = np.minimum(rng.zipf(1.2, size=(GB, S)), ITEM_NUM).astype(np.int32)
     else:
@@ -106,15 +114,22 @@ def _build(config: str):
     n_raw = 4 if config == "vision_morec" else 10   # 106 MB of images each
     raws = [_gen_raw(config, seed, GB * n_steps) for seed in range(n_raw)]
 
+    vision = config.startswith("vision_morec")
     encoder = None
     item_content = None
-    if config == "vision_morec":
+    pool = None
+    if vision:
         from idvs.morec_tpu.models.swin import SwinConfig, SwinModel
         from idvs.morec_tpu.models.vision_tower import VisionTower
         scfg = SwinConfig()   # swin-tiny
         encoder = VisionTower(net=SwinModel(scfg), kind="swin",
                               embedding_dim=D, feature_dim=scfg.num_features,
                               compute_dtype=jnp.bfloat16)
+    if config == "vision_morec_zipf":
+        # image pool the per-step unique gather copies from (stands in for
+        # the MKV store fetch; the device metric is unaffected either way)
+        pool = np.random.default_rng(7).integers(
+            0, 256, size=(1024, RESIZE, RESIZE, 3), dtype=np.uint8)
     if config.startswith("text_morec"):
         from idvs.morec_tpu.models.bert import BertConfig, BertModel
         from idvs.morec_tpu.models.text_tower import TextTower
@@ -130,15 +145,14 @@ def _build(config: str):
         attmask = np.ones_like(tokens)
         item_content = jnp.asarray(np.concatenate([tokens, attmask], axis=1))
 
-    dedup = config == "text_morec" and n_chips == 1
+    dedup = config in ("text_morec", "vision_morec_zipf") and n_chips == 1
     cap = 0
     if dedup:
         # static dedup capacity: covers every streamed batch (round up to the
-        # lane multiple) so ONE compiled graph serves the whole run
+        # lane multiple — 96 for vision so the encoder chunking divides it)
         max_uniq = max(len(np.unique(r[0])) for r in raws)
-        cap = (max_uniq + 255) // 256 * 256
-
-    vision = config == "vision_morec"
+        q = 96 if vision else 256
+        cap = (max_uniq + q - 1) // q * q
     cfg = Config(item_tower="modal" if encoder else "id",
                  modality="vision" if vision else "text",
                  loss="inbatch_ce", max_seq_len=L,
@@ -153,7 +167,8 @@ def _build(config: str):
                  # copies; tools/swin_profile.py), and k=8 stays within the
                  # unrolled-chunk regime (train/step.py)
                  encoder_chunk=int(os.environ.get(
-                     "BENCH_ENCODER_CHUNK", (B * S) // 8 if vision else 0)),
+                     "BENCH_ENCODER_CHUNK",
+                     (cap // 3 if dedup else (B * S) // 8) if vision else 0)),
                  encoder_chunk_unroll=int(os.environ.get(
                      "BENCH_CHUNK_UNROLL", 8)))
     model = make_model(cfg, item_num=ITEM_NUM, encoder=encoder)
@@ -161,7 +176,8 @@ def _build(config: str):
     ids0 = jnp.asarray(raws[0][0])
     lm0 = jnp.asarray(raws[0][1])
     if vision:
-        init_content = jnp.asarray(raws[0][2][:2 * S])
+        src = pool if pool is not None else raws[0][2]
+        init_content = jnp.asarray(src[:2 * S])
     else:
         init_content = (None if item_content is None
                         else item_content[ids0[:2].reshape(-1)])
@@ -198,6 +214,8 @@ def _build(config: str):
                 up[:len(uniq)] = uniq
                 batch["uniq_ids"] = jnp.asarray(up)
                 batch["inverse"] = jnp.asarray(inv.astype(np.int32))
+                if pool is not None:   # vision: unique images only
+                    batch["uniq_content"] = jnp.asarray(pool[up % len(pool)])
         dev = {"ids": ids, "log_mask": lm}
         if n_steps > 1:   # leading steps-per-dispatch axis
             dev = {k: v.reshape((n_steps, GB) + v.shape[1:])
@@ -236,7 +254,7 @@ def main():
     read(loss)
 
     iters = {"text_morec": 10, "text_morec_uniform": 10,
-             "vision_morec": 6}.get(config, 30)
+             "vision_morec": 6, "vision_morec_zipf": 8}.get(config, 30)
 
     # device-only: re-feed one resident batch. End with a D2H read of the
     # final loss, NOT block_until_ready: on this tunneled platform
@@ -265,6 +283,8 @@ def main():
         "text_morec_uniform": "text_morec_bert_small_train_samples_per_sec_per_chip",
         "idrec": "idrec_inbatch_ce_train_samples_per_sec_per_chip",
         "vision_morec": "vision_morec_swin_tiny_train_samples_per_sec_per_chip",
+        "vision_morec_zipf":
+            "vision_morec_swin_tiny_zipf_train_samples_per_sec_per_chip",
     }[config]
     out = {
         "metric": name,
@@ -273,7 +293,7 @@ def main():
         "vs_baseline": round(sps / BASELINE_SPS[config], 3),
         "device_only_sps": round(dev_sps, 1),
     }
-    if config == "vision_morec":
+    if config.startswith("vision_morec"):
         # This tunneled 1-chip environment's H2D path degrades ~40x (to
         # ~25 MB/s) permanently after ANY sizable program executes —
         # measured process-wide, survives freeing every buffer and idling

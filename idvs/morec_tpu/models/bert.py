@@ -43,6 +43,11 @@ class BertConfig:
     # kernel keeps Q/K/V in natural (B, T, 3H) layout — no head-transpose
     # copies and no transposed-layout contagion into the residual stream.
     fused_attention: bool = None
+    # None = auto: fused Pallas FFN (dense->GELU->dense in one kernel, the
+    # 4H-wide intermediate VMEM-resident, ops/pallas/mlp.py) on TPU; the
+    # XLA composition elsewhere. True forces the kernel (interpret mode on
+    # CPU — tests).
+    fused_ffn: bool = None
 
     @classmethod
     def from_hf(cls, hf_cfg) -> "BertConfig":
@@ -148,9 +153,34 @@ class BertLayer(nn.Module):
                               deterministic=deterministic)(attn_out)
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
                               name="attention_ln")(_fence(hidden + attn_out))
-        inter = nn.Dense(c.intermediate_size, name="intermediate")(hidden)
-        inter = nn.gelu(inter, approximate=False)
-        out = _fence(nn.Dense(c.hidden_size, name="output")(inter))
+        # FFN: dense -> exact GELU -> dense. Fused Pallas edition keeps the
+        # 4H-wide GELU intermediate VMEM-resident (the XLA composition
+        # materializes h and gelu(h) to HBM — ~1 GB/layer of pure traffic at
+        # the bench geometry); save_h=True because at big-M the dot1
+        # recompute costs more than the (M, F) residual round trip.
+        ki, bi = ProjParams(c.hidden_size, c.intermediate_size,
+                            name="intermediate")()
+        ko, bo = ProjParams(c.intermediate_size, c.hidden_size,
+                            name="output")()
+        use_fmlp = c.fused_ffn
+        if use_fmlp is None:
+            use_fmlp = (jax.default_backend() == "tpu"
+                        and not _os.environ.get("IDVS_NO_FMLP"))
+        out = None
+        if use_fmlp:
+            from ..ops.pallas.mlp import fused_mlp
+            out = fused_mlp(hidden, ki.astype(hidden.dtype),
+                            bi.astype(hidden.dtype),
+                            ko.astype(hidden.dtype),
+                            bo.astype(hidden.dtype), save_h=True,
+                            interpret=jax.default_backend() != "tpu")
+        if out is None:
+            inter = jnp.dot(hidden, ki.astype(hidden.dtype)) \
+                + bi.astype(hidden.dtype)
+            inter = nn.gelu(inter, approximate=False)
+            out = jnp.dot(inter, ko.astype(inter.dtype)) \
+                + bo.astype(inter.dtype)
+        out = _fence(out)
         out = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(out)
         return nn.LayerNorm(epsilon=c.layer_norm_eps,
                             name="output_ln")(_fence(hidden + out))

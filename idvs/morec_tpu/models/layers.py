@@ -12,10 +12,39 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 xavier_normal = nn.initializers.xavier_normal()
 zeros_init = nn.initializers.zeros
+
+
+def layer_norm(x, scale, bias, eps):
+    """Functional nn.LayerNorm (bit-identical in f32: f32 stats, fast
+    variance, scale/bias applied in f32, result cast back). Used by callers
+    that own the LN params so a fused kernel can absorb the LN — the XLA
+    fallback goes through here (pinned against flax in test_pallas_mlp)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu,
+                      0.0)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+class LNParams(nn.Module):
+    """One LayerNorm's (scale, bias) WITHOUT applying it — the LN analogue
+    of ProjParams: keeps the param tree identical to nn.LayerNorm
+    (<name>/scale, <name>/bias) so converters/freeze masks are unchanged
+    while the caller fuses the LN into a kernel."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones_init(),
+                           (self.features,)),
+                self.param("bias", zeros_init, (self.features,)))
 
 
 class ProjParams(nn.Module):

@@ -272,11 +272,39 @@ class SwinBlock(nn.Module):
         x = x.reshape(B, L, C)
         x = shortcut + DropPath(self.drop_path, name="dp1")(x, deterministic)
 
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layernorm_after")(x)
-        h = nn.Dense(int(C * c.mlp_ratio), name="intermediate")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(C, name="output")(h)
-        h = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(h)
+        # --- MLP: LN -> 4C dense -> exact GELU -> dense (HF Swin
+        # SwinIntermediate/SwinOutput). Fused Pallas edition on TPU: the
+        # whole sub-block in one kernel with the 4C-wide intermediate
+        # VMEM-resident — at stage-0/1 channel widths the XLA dots lower
+        # through transpose-reuse conv emitters at ~12-26 TFLOPS with
+        # relayout copies at every kernel boundary (PARITY.md band-layout
+        # closure). Param tree unchanged (LNParams/ProjParams). ---
+        from .layers import LNParams, layer_norm
+        F = int(C * c.mlp_ratio)
+        gm, bt = LNParams(C, name="layernorm_after")()
+        k1, b1 = ProjParams(C, F, name="intermediate")()
+        k2, b2 = ProjParams(F, C, name="output")()
+        p_hid = 0.0 if deterministic else c.hidden_dropout_prob
+        if _os.environ.get("IDVS_SWIN_NO_MLP"):
+            return x          # ablation: measure the MLP's in-context cost
+        h = None
+        if (use_fused and p_hid == 0.0
+                and not _os.environ.get("IDVS_SWIN_NO_FMLP")):
+            from ..ops.pallas.mlp import fused_mlp
+            # save_h default off: at Swin's C the dot1 recompute (~0.25 ms
+            # at stage 0) is cheaper than the (M, F) h round trip (~0.5 ms)
+            h = fused_mlp(x, k1.astype(x.dtype), b1.astype(x.dtype),
+                          k2.astype(x.dtype), b2.astype(x.dtype),
+                          ln=(gm, bt), eps=c.layer_norm_eps,
+                          save_h=bool(_os.environ.get("IDVS_SWIN_FMLP_SAVEH")),
+                          interpret=interp)
+        if h is None:
+            h = layer_norm(x, gm, bt, c.layer_norm_eps)
+            h = jnp.dot(h, k1.astype(h.dtype)) + b1.astype(h.dtype)
+            h = nn.gelu(h, approximate=False)
+            h = jnp.dot(h, k2.astype(h.dtype)) + b2.astype(h.dtype)
+            h = nn.Dropout(c.hidden_dropout_prob,
+                           deterministic=deterministic)(h)
         return x + DropPath(self.drop_path, name="dp2")(h, deterministic)
 
 

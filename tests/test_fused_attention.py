@@ -326,3 +326,41 @@ def test_fused_mha_proj_band_matches_xla_composition(P_mode):
     for name, a, b in zip(["dx", "dbias", "dwqkv", "dbqkv", "dwo", "dbo"],
                           gk, gx):
         np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5, err_msg=name)
+
+
+def test_bert_model_fused_ffn_matches_xla():
+    """BertModel(fused_ffn=True, interpret via CPU) == the XLA FFN path,
+    forward and grads."""
+    from idvs.morec_tpu.models.bert import BertConfig, BertModel
+    rng = np.random.default_rng(7)
+    ids = rng.integers(1, 50, size=(4, 10)).astype(np.int32)
+    att = (rng.uniform(size=ids.shape) < 0.8).astype(np.int32)
+    att[:, 0] = 1
+    common = dict(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                  num_attention_heads=2, intermediate_size=64,
+                  max_position_embeddings=32, hidden_dropout_prob=0.0,
+                  attention_probs_dropout_prob=0.0,
+                  fused_attention=False)
+    m_x = BertModel(BertConfig(fused_ffn=False, **common))
+    m_p = BertModel(BertConfig(fused_ffn=True, **common))
+    params = m_x.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                      jnp.asarray(att))
+    o_x = m_x.apply(params, jnp.asarray(ids), jnp.asarray(att))
+    o_p = m_p.apply(params, jnp.asarray(ids), jnp.asarray(att))
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(m):
+        def f(p):
+            return jnp.sum(m.apply(p, jnp.asarray(ids),
+                                   jnp.asarray(att)) ** 2)
+        return f
+
+    g_x = jax.grad(loss(m_x))(params)
+    g_p = jax.grad(loss(m_p))(params)
+    flat_x = dict(jax.tree_util.tree_leaves_with_path(g_x))
+    for path, vp in jax.tree_util.tree_leaves_with_path(g_p):
+        # atol covers f32 accumulation-order noise on near-zero embedding
+        # grads (the kernel reduces block-wise, XLA in one pass)
+        np.testing.assert_allclose(np.asarray(vp), np.asarray(flat_x[path]),
+                                   rtol=5e-4, atol=6e-5, err_msg=str(path))

@@ -1,0 +1,130 @@
+"""Fused Pallas (LN->)Dense->GELU->Dense kernel vs the XLA composition
+(interpret mode on CPU; the real-TPU path is exercised by bench/graft)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from idvs.morec_tpu.ops.pallas.mlp import fused_mlp
+
+EPS = 1e-5
+
+
+def _params(rng, C, F, dtype=np.float32):
+    return (jnp.asarray(rng.normal(size=(C, F)).astype(dtype) * 0.05),
+            jnp.asarray(rng.normal(size=(F,)).astype(dtype) * 0.1),
+            jnp.asarray(rng.normal(size=(F, C)).astype(dtype) * 0.05),
+            jnp.asarray(rng.normal(size=(C,)).astype(dtype) * 0.1))
+
+
+def _ln_ref(x, gm, bt, eps=EPS):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu,
+                      0.0)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * gm.astype(jnp.float32) + bt.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _ref(x, w1, b1, w2, b2, ln=None):
+    if ln is not None:
+        x = _ln_ref(x, *ln)
+    h = jnp.dot(x, w1) + b1
+    g = jax.nn.gelu(h, approximate=False)
+    return jnp.dot(g, w2) + b2
+
+
+def test_ln_ref_matches_flax():
+    """The functional LN (used by SwinBlock's fused-MLP fallback) is
+    nn.LayerNorm bit-for-bit in f32."""
+    import flax.linen as nn
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(7, 96)).astype(np.float32))
+    mod = nn.LayerNorm(epsilon=EPS)
+    var = mod.init(jax.random.PRNGKey(0), x)
+    gm, bt = var["params"]["scale"], var["params"]["bias"]
+    want = mod.apply(var, x)
+    got = _ln_ref(x, gm, bt)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("C,F,M", [(96, 384, 100), (192, 768, 64),
+                                   (64, 256, 9)])
+def test_fused_mlp_forward_ln(C, F, M):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    w1, b1, w2, b2 = _params(rng, C, F)
+    gm = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    bt = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    want = _ref(x, w1, b1, w2, b2, ln=(gm, bt))
+    got = fused_mlp(x, w1, b1, w2, b2, ln=(gm, bt), eps=EPS, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_mlp_forward_no_ln_3d():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(3, 10, 96)).astype(np.float32))
+    w1, b1, w2, b2 = _params(rng, 96, 384)
+    want = _ref(x, w1, b1, w2, b2)
+    got = fused_mlp(x, w1, b1, w2, b2, interpret=True)
+    assert got.shape == x.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("with_ln,save_h", [(True, False), (False, False),
+                                            (True, True), (False, True)])
+def test_fused_mlp_grads(with_ln, save_h):
+    rng = np.random.default_rng(3)
+    C, F, M = 96, 384, 50
+    x = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    w1, b1, w2, b2 = _params(rng, C, F)
+    gm = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    bt = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+
+    if with_ln:
+        def want_fn(x, gm, bt, w1, b1, w2, b2):
+            return jnp.sum(_ref(x, w1, b1, w2, b2, ln=(gm, bt)) * cot)
+
+        def got_fn(x, gm, bt, w1, b1, w2, b2):
+            return jnp.sum(fused_mlp(x, w1, b1, w2, b2, ln=(gm, bt),
+                                     eps=EPS, save_h=save_h,
+                                     interpret=True) * cot)
+        args = (x, gm, bt, w1, b1, w2, b2)
+    else:
+        def want_fn(x, w1, b1, w2, b2):
+            return jnp.sum(_ref(x, w1, b1, w2, b2) * cot)
+
+        def got_fn(x, w1, b1, w2, b2):
+            return jnp.sum(fused_mlp(x, w1, b1, w2, b2, save_h=save_h,
+                                     interpret=True) * cot)
+        args = (x, w1, b1, w2, b2)
+
+    want = jax.grad(want_fn, argnums=tuple(range(len(args))))(*args)
+    got = jax.grad(got_fn, argnums=tuple(range(len(args))))(*args)
+    for w, g in zip(want, got):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_fused_mlp_pad_rows_are_inert():
+    """M far from any block multiple: padded zero rows must not perturb
+    weight grads (they get zero cotangents)."""
+    rng = np.random.default_rng(4)
+    C, F = 64, 256
+    w1, b1, w2, b2 = _params(rng, C, F)
+    x = jnp.asarray(rng.normal(size=(5, C)).astype(np.float32))
+
+    def g(fn):
+        return jax.grad(lambda w: jnp.sum(fn(w) ** 2))(w1)
+
+    want = g(lambda w: _ref(x, w, b1, w2, b2))
+    got = g(lambda w: fused_mlp(x, w, b1, w2, b2, interpret=True))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)

@@ -71,3 +71,57 @@ def test_swin_tiny_real_geometry_runs():
     params = model.init(jax.random.PRNGKey(0), x, True)
     out = model.apply(params, x, True)
     assert out.shape == (1, 768)
+
+
+def test_swin_block_fused_mlp_matches_xla():
+    """SwinBlock with fused=True (interpret-mode Pallas attention + MLP
+    kernels) matches the XLA fallback path, fwd and grads."""
+    import os
+    from idvs.morec_tpu.models.swin import SwinConfig, SwinBlock
+    cfg = SwinConfig(image_size=16, patch_size=2, embed_dim=8,
+                     depths=(2,), num_heads=(2,), window_size=2,
+                     drop_path_rate=0.0, mlp_ratio=2.0)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 64, 8)),
+                    jnp.float32)
+    fused = SwinBlock(cfg, 8, 2, (8, 8), shift=True, drop_path=0.0,
+                      fused=True)
+    plain = SwinBlock(cfg, 8, 2, (8, 8), shift=True, drop_path=0.0,
+                      fused=False)
+    p = fused.init(jax.random.PRNGKey(0), x, True)
+    assert p["params"].keys() == plain.init(
+        jax.random.PRNGKey(0), x, True)["params"].keys()
+
+    a = fused.apply(p, x, True)
+    b = plain.apply(p, x, True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=1e-5)
+
+    ga = jax.grad(lambda p: jnp.sum(fused.apply(p, x, True) ** 2))(p)
+    gb = jax.grad(lambda p: jnp.sum(plain.apply(p, x, True) ** 2))(p)
+    flat_a = jax.tree_util.tree_leaves_with_path(ga)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(gb))
+    for path, va in flat_a:
+        vb = flat_b[path]
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=5e-4, atol=2e-5,
+                                   err_msg=str(path))
+
+
+def test_swin_fused_mlp_ablation_env_identity():
+    """IDVS_SWIN_NO_MLP short-circuits the MLP (diag tool contract)."""
+    import os
+    from idvs.morec_tpu.models.swin import SwinConfig, SwinBlock
+    cfg = SwinConfig(image_size=16, patch_size=2, embed_dim=8,
+                     depths=(2,), num_heads=(2,), window_size=2,
+                     drop_path_rate=0.0, mlp_ratio=2.0)
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(1, 64, 8)),
+                    jnp.float32)
+    blk = SwinBlock(cfg, 8, 2, (8, 8), shift=False, drop_path=0.0)
+    p = blk.init(jax.random.PRNGKey(0), x, True)
+    base = blk.apply(p, x, True)
+    os.environ["IDVS_SWIN_NO_MLP"] = "1"
+    try:
+        ablated = blk.apply(p, x, True)
+    finally:
+        del os.environ["IDVS_SWIN_NO_MLP"]
+    assert not np.allclose(np.asarray(base), np.asarray(ablated))

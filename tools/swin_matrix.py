@@ -70,6 +70,10 @@ def main():
 
     if "base" in which:
         run("base")
+    if "nofmlp" in which:     # XLA MLP composition instead of the fused kernel
+        run("nofmlp", env=("IDVS_SWIN_NO_FMLP",))
+    if "nomlp" in which:      # MLP sub-block ablated to identity
+        run("nomlp", env=("IDVS_SWIN_NO_MLP",))
     if "noattn" in which:
         run("noattn", env=("IDVS_SWIN_NO_ATTN",))
     if "noshift" in which:

@@ -81,6 +81,12 @@ def main():
 
     if "base" in which:
         run("base")
+    if "nofmlp" in which:     # XLA FFN composition instead of the fused kernel
+        run("nofmlp", env=("IDVS_NO_FMLP",))
+    if "rbg_nofmlp" in which:  # the pre-kernel bench composition (rbg dropout)
+        run("rbg_nofmlp", rbg=True, env=("IDVS_NO_FMLP",))
+    if "rbg_fmlp" in which:    # the bench composition with the fused FFN
+        run("rbg_fmlp", rbg=True)
     if "noattn" in which:
         run("noattn", env=("IDVS_NO_ATTN",))
     if "nodrop" in which:

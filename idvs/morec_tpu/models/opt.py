@@ -11,6 +11,7 @@ padding additive mask.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import Dict, List, Optional, Set, Tuple
 
 import flax.linen as nn
@@ -78,10 +79,27 @@ class OPTLayer(nn.Module):
         h = nn.Dropout(c.dropout, deterministic=deterministic)(h)
         hidden = residual + h
         residual = hidden
-        h = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(hidden)
-        h = nn.Dense(c.ffn_dim, name="fc1")(h)
-        h = nn.relu(h)
-        h = nn.Dense(c.hidden_size, name="fc2")(h)
+        # pre-LN ReLU FFN; fused Pallas edition on TPU (ops/pallas/mlp.py,
+        # LN absorbed, ffn_dim-wide intermediate VMEM-resident). Param tree
+        # unchanged via LNParams/ProjParams; dropout stays outside.
+        from .layers import LNParams, ProjParams, layer_norm
+        gm, bt = LNParams(c.hidden_size, name="final_layer_norm")()
+        k1, b1 = ProjParams(c.hidden_size, c.ffn_dim, name="fc1")()
+        k2, b2 = ProjParams(c.ffn_dim, c.hidden_size, name="fc2")()
+        h = None
+        if jax.default_backend() == "tpu" and not _os.environ.get(
+                "IDVS_NO_FMLP"):
+            from ..ops.pallas.mlp import fused_mlp
+            h = fused_mlp(hidden, k1.astype(hidden.dtype),
+                          b1.astype(hidden.dtype),
+                          k2.astype(hidden.dtype),
+                          b2.astype(hidden.dtype),
+                          ln=(gm, bt), eps=1e-5, act="relu", save_h=True)
+        if h is None:
+            h = layer_norm(hidden, gm, bt, 1e-5)
+            h = jnp.maximum(jnp.dot(h, k1.astype(h.dtype))
+                            + b1.astype(h.dtype), 0)
+            h = jnp.dot(h, k2.astype(h.dtype)) + b2.astype(h.dtype)
         h = nn.Dropout(c.dropout, deterministic=deterministic)(h)
         return residual + h
 

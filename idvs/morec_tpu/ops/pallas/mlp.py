@@ -79,12 +79,21 @@ def _dgelu_f32(h):
     return cdf + h * phi
 
 
+def _act_f32(h, act):
+    return jnp.maximum(h, 0.0) if act == "relu" else _gelu_f32(h)
+
+
+def _dact_f32(h, act):
+    return ((h > 0.0).astype(jnp.float32) if act == "relu"
+            else _dgelu_f32(h))
+
+
 def _dot(a, b, ca, cb):
     return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(*refs, eps, ln, save_h):
+def _fwd_kernel(*refs, eps, ln, save_h, act):
     if save_h:
         *refs, h_ref = refs
     if ln:
@@ -98,12 +107,12 @@ def _fwd_kernel(*refs, eps, ln, save_h):
     h = _dot(xn_c, w1_ref[...], 1, 0) + b1_ref[...].astype(jnp.float32)
     if save_h:
         h_ref[...] = h.astype(h_ref.dtype)
-    g = _gelu_f32(h).astype(x_ref.dtype)
+    g = _act_f32(h, act).astype(x_ref.dtype)
     y = _dot(g, w2_ref[...], 1, 0) + b2_ref[...].astype(jnp.float32)
     out_ref[...] = y.astype(out_ref.dtype)
 
 
-def _bwd_kernel(*refs, eps, ln, save_h):
+def _bwd_kernel(*refs, eps, ln, save_h, act):
     h_ref = None
     if save_h:
         # h rides between dout and the outputs in the input list
@@ -142,7 +151,7 @@ def _bwd_kernel(*refs, eps, ln, save_h):
         h = h_ref[...].astype(jnp.float32)
     else:
         h = _dot(xn_c, w1_ref[...], 1, 0) + b1_ref[...].astype(jnp.float32)
-    g = _gelu_f32(h).astype(x_ref.dtype)
+    g = _act_f32(h, act).astype(x_ref.dtype)
 
     # --- backward ---
     dy = dout_ref[...]
@@ -150,7 +159,7 @@ def _bwd_kernel(*refs, eps, ln, save_h):
     db2_ref[...] += jnp.sum(dy, axis=0,
                             dtype=jnp.float32).reshape(db2_ref.shape)
     dg = _dot(dy, w2_ref[...], 1, 1)                   # (BM, F) f32
-    dh = (dg * _dgelu_f32(h)).astype(x_ref.dtype)
+    dh = (dg * _dact_f32(h, act)).astype(x_ref.dtype)
     dw1_ref[...] += _dot(xn_c, dh, 0, 0)
     db1_ref[...] += jnp.sum(dh, axis=0,
                             dtype=jnp.float32).reshape(db1_ref.shape)
@@ -198,7 +207,7 @@ def _pick_block_mlp(C: int, F: int, itemsize: int, ln: bool, save_h: bool):
 
 @functools.lru_cache(maxsize=None)
 def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
-           save_h: bool):
+           save_h: bool, act: str):
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
 
     def const_spec(shape):
@@ -222,7 +231,8 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
             out_shape = [out_shape,
                          jax.ShapeDtypeStruct((M, _F(args)), x.dtype)]
         return pl.pallas_call(
-            functools.partial(_fwd_kernel, eps=eps, ln=ln, save_h=save_h),
+            functools.partial(_fwd_kernel, eps=eps, ln=ln, save_h=save_h,
+                              act=act),
             grid=(M // BMf,),
             in_specs=[blk] + [const_spec(a.shape) for a in args],
             out_specs=out_specs,
@@ -254,7 +264,8 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
         in_specs = ([blk] + [const_spec(a.shape) for a in args[:n_const]]
                     + ([blkF] if save_h else []) + [blk])
         return pl.pallas_call(
-            functools.partial(_bwd_kernel, eps=eps, ln=ln, save_h=save_h),
+            functools.partial(_bwd_kernel, eps=eps, ln=ln, save_h=save_h,
+                              act=act),
             grid=(M // BMb,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -295,8 +306,10 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
 def fused_mlp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
               w2: jnp.ndarray, b2: jnp.ndarray, *,
               ln: tuple = None, eps: float = 1e-5, save_h: bool = False,
-              interpret: bool = None) -> jnp.ndarray:
-    """(..., C) -> (..., C): dense2(gelu_exact(dense1(maybe_ln(x)))).
+              act: str = "gelu", interpret: bool = None) -> jnp.ndarray:
+    """(..., C) -> (..., C): dense2(act(dense1(maybe_ln(x)))).
+
+    act: "gelu" (exact, via the in-kernel erf) or "relu" (OPT FFN).
 
     ln: None, or (scale, bias) — LayerNorm(eps) applied inside the kernel
     first (Swin's pre-LN MLP; BERT's post-LN FFN passes ln=None). The
@@ -332,8 +345,9 @@ def fused_mlp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     tail = (w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
     args = ((ln[0].reshape(1, -1), ln[1].reshape(1, -1)) + tail
             if ln is not None else tail)
+    assert act in ("gelu", "relu"), act
     out = _build(float(eps), ln is not None, bool(interpret),
-                 BMf, BMb, bool(save_h))(x2, *args)
+                 BMf, BMb, bool(save_h), act)(x2, *args)
     if pad:
         out = out[:M]
     return out.reshape(shape)

@@ -29,11 +29,12 @@ def _ln_ref(x, gm, bt, eps=EPS):
     return y.astype(x.dtype)
 
 
-def _ref(x, w1, b1, w2, b2, ln=None):
+def _ref(x, w1, b1, w2, b2, ln=None, act="gelu"):
     if ln is not None:
         x = _ln_ref(x, *ln)
     h = jnp.dot(x, w1) + b1
-    g = jax.nn.gelu(h, approximate=False)
+    g = jnp.maximum(h, 0) if act == "relu" else jax.nn.gelu(
+        h, approximate=False)
     return jnp.dot(g, w2) + b2
 
 
@@ -128,3 +129,32 @@ def test_fused_mlp_pad_rows_are_inert():
     got = g(lambda w: fused_mlp(x, w, b1, w2, b2, interpret=True))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("save_h", [False, True])
+def test_fused_mlp_relu_ln_grads(save_h):
+    """The OPT FFN composition: LN absorbed + ReLU activation."""
+    rng = np.random.default_rng(9)
+    C, F, M = 64, 256, 40
+    x = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    w1, b1, w2, b2 = _params(rng, C, F)
+    gm = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    bt = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+
+    def want_fn(*a):
+        return jnp.sum(_ref(a[0], *a[3:], ln=(a[1], a[2]),
+                            act="relu") ** 2)
+
+    def got_fn(*a):
+        return jnp.sum(fused_mlp(a[0], *a[3:], ln=(a[1], a[2]), eps=EPS,
+                                 act="relu", save_h=save_h,
+                                 interpret=True) ** 2)
+
+    args = (x, gm, bt, w1, b1, w2, b2)
+    np.testing.assert_allclose(
+        np.asarray(got_fn(*args)), np.asarray(want_fn(*args)), rtol=1e-5)
+    want = jax.grad(want_fn, argnums=tuple(range(7)))(*args)
+    got = jax.grad(got_fn, argnums=tuple(range(7)))(*args)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=1e-5)

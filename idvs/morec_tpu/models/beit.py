@@ -100,10 +100,10 @@ class BeitLayer(nn.Module):
                           nn.initializers.constant(c.layer_scale_init_value),
                           (H,))
         x = x + lam1 * out
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layernorm_after")(x)
-        h = nn.Dense(c.intermediate_size, name="intermediate")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(H, name="output")(h)
+        from .layers import pre_ln_mlp
+        h = pre_ln_mlp(x, c.intermediate_size, ln_name="layernorm_after",
+                       fc1_name="intermediate", fc2_name="output",
+                       eps=c.layer_norm_eps)
         lam2 = self.param("lambda_2",
                           nn.initializers.constant(c.layer_scale_init_value),
                           (H,))

@@ -68,10 +68,10 @@ class CLIPLayer(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, T, H)
         out = nn.Dense(H, name="out_proj")(out)
         x = x + out
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm2")(x)
-        h = nn.Dense(c.intermediate_size, name="fc1")(h)
-        h = quick_gelu(h)
-        h = nn.Dense(H, name="fc2")(h)
+        from .layers import pre_ln_mlp
+        h = pre_ln_mlp(x, c.intermediate_size, ln_name="layer_norm2",
+                       fc1_name="fc1", fc2_name="fc2",
+                       eps=c.layer_norm_eps, act="quick_gelu")
         return x + h
 
 

@@ -33,6 +33,40 @@ def layer_norm(x, scale, bias, eps):
     return y.astype(x.dtype)
 
 
+def pre_ln_mlp(x, features, *, ln_name, fc1_name, fc2_name, eps,
+               act="gelu", save_h=True):
+    """Pre-LN ViT-style MLP sub-block: LN -> dense(features) -> act ->
+    dense(C). Creates params with the SAME tree as nn.LayerNorm(<ln_name>)
+    + nn.Dense(<fc1>/<fc2>) (converters/freeze masks unchanged), runs the
+    fused Pallas kernel on TPU (ops/pallas/mlp.py; IDVS_NO_FMLP restores
+    XLA), the functional composition elsewhere. Must be called from inside
+    a compact __call__ (submodules bind to the caller's scope). The
+    residual add / dropout / LayerScale stay with the caller."""
+    import os
+    import jax
+    C = x.shape[-1]
+    gm, bt = LNParams(C, name=ln_name)()
+    k1, b1 = ProjParams(C, features, name=fc1_name)()
+    k2, b2 = ProjParams(features, C, name=fc2_name)()
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("IDVS_NO_FMLP")):
+        from ..ops.pallas.mlp import fused_mlp
+        h = fused_mlp(x, k1.astype(x.dtype), b1.astype(x.dtype),
+                      k2.astype(x.dtype), b2.astype(x.dtype),
+                      ln=(gm, bt), eps=eps, act=act, save_h=save_h)
+        if h is not None:
+            return h
+    h = layer_norm(x, gm, bt, eps)
+    h = jnp.dot(h, k1.astype(h.dtype)) + b1.astype(h.dtype)
+    if act == "relu":
+        h = jnp.maximum(h, 0)
+    elif act == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = nn.gelu(h, approximate=False)
+    return jnp.dot(h, k2.astype(h.dtype)) + b2.astype(h.dtype)
+
+
 class LNParams(nn.Module):
     """One LayerNorm's (scale, bias) WITHOUT applying it — the LN analogue
     of ProjParams: keeps the param tree identical to nn.LayerNorm

@@ -89,10 +89,10 @@ class ViTLayer(nn.Module):
         out = nn.Dense(H, name="attention_output")(out)
         out = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(out)
         x = x + out
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layernorm_after")(x)
-        h = nn.Dense(c.intermediate_size, name="intermediate")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(H, name="output")(h)
+        from .layers import pre_ln_mlp
+        h = pre_ln_mlp(x, c.intermediate_size, ln_name="layernorm_after",
+                       fc1_name="intermediate", fc2_name="output",
+                       eps=c.layer_norm_eps)
         h = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(h)
         return x + h
 

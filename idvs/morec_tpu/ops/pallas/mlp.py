@@ -80,12 +80,20 @@ def _dgelu_f32(h):
 
 
 def _act_f32(h, act):
-    return jnp.maximum(h, 0.0) if act == "relu" else _gelu_f32(h)
+    if act == "relu":
+        return jnp.maximum(h, 0.0)
+    if act == "quick_gelu":            # CLIP: x * sigmoid(1.702 x)
+        return h * jax.nn.sigmoid(1.702 * h)
+    return _gelu_f32(h)
 
 
 def _dact_f32(h, act):
-    return ((h > 0.0).astype(jnp.float32) if act == "relu"
-            else _dgelu_f32(h))
+    if act == "relu":
+        return (h > 0.0).astype(jnp.float32)
+    if act == "quick_gelu":
+        s = jax.nn.sigmoid(1.702 * h)
+        return s + h * 1.702 * s * (1.0 - s)
+    return _dgelu_f32(h)
 
 
 def _dot(a, b, ca, cb):
@@ -309,7 +317,8 @@ def fused_mlp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
               act: str = "gelu", interpret: bool = None) -> jnp.ndarray:
     """(..., C) -> (..., C): dense2(act(dense1(maybe_ln(x)))).
 
-    act: "gelu" (exact, via the in-kernel erf) or "relu" (OPT FFN).
+    act: "gelu" (exact, via the in-kernel erf), "relu" (OPT FFN), or
+    "quick_gelu" (CLIP: x*sigmoid(1.702x)).
 
     ln: None, or (scale, bias) — LayerNorm(eps) applied inside the kernel
     first (Swin's pre-LN MLP; BERT's post-LN FFN passes ln=None). The
@@ -345,7 +354,7 @@ def fused_mlp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     tail = (w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
     args = ((ln[0].reshape(1, -1), ln[1].reshape(1, -1)) + tail
             if ln is not None else tail)
-    assert act in ("gelu", "relu"), act
+    assert act in ("gelu", "relu", "quick_gelu"), act
     out = _build(float(eps), ln is not None, bool(interpret),
                  BMf, BMb, bool(save_h), act)(x2, *args)
     if pad:

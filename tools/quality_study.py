@@ -149,9 +149,15 @@ def main():
     ap.add_argument("--workdir", default="")
     ap.add_argument("--arm", default="all",
                     choices=["all", "directional", "dedup"])
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the default backend instead of forced CPU "
+                         "— exercises the fused Pallas kernels in a real "
+                         "train-to-convergence loop (quality check for the "
+                         "kernel paths, e.g. the A&S erf GELU)")
     args = ap.parse_args()
 
-    force_cpu()
+    if not args.tpu:
+        force_cpu()
     root = args.workdir or tempfile.mkdtemp(prefix="quality_study_")
     print(f"workdir: {root}")
     bert_dir = bert_tiny_dir(root)

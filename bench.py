@@ -253,7 +253,10 @@ def main():
         state, loss = step(state, batch0)
     read(loss)
 
-    iters = {"text_morec": 10, "text_morec_uniform": 10,
+    # timed-loop lengths: text steps are ~0.15 s so more iters cost seconds
+    # while halving tunnel jitter (a 10-iter headline run once read e2e 10%
+    # ABOVE device-only — pure scheduling noise); vision steps are ~1.4 s
+    iters = {"text_morec": 20, "text_morec_uniform": 20,
              "vision_morec": 6, "vision_morec_zipf": 8}.get(config, 30)
 
     # device-only: re-feed one resident batch. End with a D2H read of the

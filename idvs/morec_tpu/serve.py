@@ -64,14 +64,28 @@ class Retriever:
     def __init__(self, model, params, item_table: jnp.ndarray, *,
                  user_tower: str = "sasrec", max_seq_len: int = 20,
                  batch_sizes: Sequence[int] = (1, 8, 64),
-                 exclude_history: bool = True):
+                 exclude_history: bool = True, mesh=None):
         self.model = model
         self.params = params
-        self.item_table = item_table
         self.user_tower = user_tower
         self.max_seq_len = int(max_seq_len)
         self.batch_sizes = tuple(sorted(int(b) for b in batch_sizes))
         self.exclude_history = bool(exclude_history)
+        self.mesh = mesh
+        self.true_rows = int(item_table.shape[0])
+        if mesh is not None:
+            # shard the catalog rows over the mesh; pad to an even split
+            # (padded rows are masked to -inf inside the sharded step)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n = int(np.prod(list(mesh.shape.values())))
+            pad = (-self.true_rows) % n
+            if pad:
+                item_table = jnp.concatenate(
+                    [item_table, jnp.zeros((pad, item_table.shape[1]),
+                                           item_table.dtype)])
+            item_table = jax.device_put(
+                item_table, NamedSharding(mesh, P("data", None)))
+        self.item_table = item_table
 
     # ------------------------------------------------------------- build
     @staticmethod
@@ -112,7 +126,67 @@ class Retriever:
                 scores = scores.at[rows, ids].set(-jnp.inf)
             return jax.lax.top_k(scores, top_k)
 
-        return step
+        if self.mesh is None:
+            return step
+        return self._sharded_step(top_k)
+
+    def _sharded_step(self, top_k: int):
+        """Catalog-sharded recommend: each shard scores its rows against
+        the (replicated, cheap) user vectors, takes a LOCAL top-K, and the
+        K candidates per shard ride one small all-gather over ICI before a
+        final merge — the (B, I+1) score matrix never materializes on any
+        one chip and the catalog scales with the mesh."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        mesh = self.mesh
+        model, user_tower = self.model, self.user_tower
+        exclude = self.exclude_history
+        total, true_rows = int(self.item_table.shape[0]), self.true_rows
+        n = int(np.prod(list(mesh.shape.values())))
+        local = total // n
+        assert top_k <= local, f"top_k {top_k} exceeds {local} rows/shard"
+
+        def body(params, table, ids, log_mask):
+            if user_tower == "sasrec":
+                # user tower on replicated inputs (tiny next to the catalog
+                # matmul) — recomputed per shard, no collectives. The
+                # sequence embeddings come from the LOCAL table slice via a
+                # masked gather + psum (ids outside this shard contribute 0).
+                lo = jax.lax.axis_index("data") * local
+                li = jnp.clip(ids - lo, 0, local - 1)
+                mine = (ids >= lo) & (ids < lo + local)
+                input_embs = jnp.where(mine[..., None], table[li], 0.0)
+                input_embs = jax.lax.psum(input_embs, "data")
+                states = model.apply(params, input_embs, log_mask, True,
+                                     method="user_states")
+                uvec = states[:, -1]
+            else:
+                uvec = model.apply(params, ids, True, method="user_vec")
+                lo = jax.lax.axis_index("data") * local
+            f32 = jnp.float32
+            scores = jnp.dot(uvec.astype(f32), table.astype(f32).T,
+                             preferred_element_type=f32)      # (B, local)
+            gcol = lo + jnp.arange(local)[None, :]
+            scores = jnp.where((gcol == 0) | (gcol >= true_rows),
+                               -jnp.inf, scores)
+            if exclude and user_tower == "sasrec":
+                rows = jnp.arange(ids.shape[0])[:, None]
+                li = jnp.clip(ids - lo, 0, local - 1)
+                val = jnp.where((ids >= lo) & (ids < lo + local),
+                                -jnp.inf, jnp.inf)
+                scores = scores.at[rows, li].min(val)  # min(+inf) = no-op
+            v, i = jax.lax.top_k(scores, top_k)               # (B, k) local
+            gi = i + lo
+            av = jax.lax.all_gather(v, "data", axis=1, tiled=True)
+            ai = jax.lax.all_gather(gi, "data", axis=1, tiled=True)
+            fv, fi = jax.lax.top_k(av, top_k)
+            return fv, jnp.take_along_axis(ai, fi, axis=1)
+
+        stepped = shard_map(body, mesh=mesh,
+                            in_specs=(P(), P("data", None), P(), P()),
+                            out_specs=(P(), P()),
+                            check_rep=False)
+        return jax.jit(stepped)
 
     def _bucket(self, n: int) -> int:
         for b in self.batch_sizes:

@@ -116,3 +116,22 @@ def test_dssm_user_serving():
     widx = np.argsort(-want, axis=1)[:, :4]
     np.testing.assert_allclose(
         scores, np.take_along_axis(want, widx, axis=1), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_catalog_matches_single_device():
+    """Catalog sharded over the 8-device mesh: local top-k + all-gather
+    merge == the single-device engine (same weights, same queries)."""
+    from idvs.morec_tpu.parallel.mesh import make_mesh
+    model, params, table = _build()
+    mesh = make_mesh(jax.devices())
+    assert int(np.prod(list(mesh.shape.values()))) == 8
+    single = Retriever(model, params, table, max_seq_len=L,
+                       batch_sizes=(4,))
+    sharded = Retriever(model, params, table, max_seq_len=L,
+                        batch_sizes=(4,), mesh=mesh)
+    hist = [[3, 7, 11], [5], [2, 9, 40, 41], [48, 1]]
+    ids_s, sc_s = single.recommend(hist, top_k=5)
+    ids_m, sc_m = sharded.recommend(hist, top_k=5)
+    np.testing.assert_allclose(sc_m, sc_s, rtol=1e-5, atol=1e-6)
+    mismatch = ids_m != ids_s
+    assert (sc_m[mismatch] == sc_s[mismatch]).all()   # ties only

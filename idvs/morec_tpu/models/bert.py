@@ -38,6 +38,11 @@ class BertConfig:
     pad_token_id: int = 0
     position_offset: int = 0   # RoBERTa: pad_token_id + 1 = 2
     is_roberta: bool = False
+    # DistilBERT (HF DistilBertModel): same post-LN block as BERT with no
+    # token-type embeddings (type_vocab_size=0 skips the table entirely);
+    # param names differ only on the torch side (convert_text.py maps
+    # q_lin/k_lin/... onto the same flax tree)
+
     # None = auto: use the fused Pallas attention kernel on TPU backends
     # (ops/pallas/attention.py), the plain XLA composition elsewhere. The
     # kernel keeps Q/K/V in natural (B, T, 3H) layout — no head-transpose
@@ -51,6 +56,16 @@ class BertConfig:
 
     @classmethod
     def from_hf(cls, hf_cfg) -> "BertConfig":
+        if hf_cfg.model_type == "distilbert":
+            return cls(vocab_size=hf_cfg.vocab_size, hidden_size=hf_cfg.dim,
+                       num_hidden_layers=hf_cfg.n_layers,
+                       num_attention_heads=hf_cfg.n_heads,
+                       intermediate_size=hf_cfg.hidden_dim,
+                       max_position_embeddings=hf_cfg.max_position_embeddings,
+                       type_vocab_size=0, layer_norm_eps=1e-12,
+                       hidden_dropout_prob=hf_cfg.dropout,
+                       attention_probs_dropout_prob=hf_cfg.attention_dropout,
+                       pad_token_id=hf_cfg.pad_token_id)
         is_roberta = hf_cfg.model_type == "roberta"
         return cls(
             vocab_size=hf_cfg.vocab_size,
@@ -197,8 +212,9 @@ class BertModel(nn.Module):
         word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")
         pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
                        name="position_embeddings")
-        tok = nn.Embed(c.type_vocab_size, c.hidden_size,
-                       name="token_type_embeddings")
+        tok = (nn.Embed(c.type_vocab_size, c.hidden_size,
+                        name="token_type_embeddings")
+               if c.type_vocab_size else None)
         if c.is_roberta:
             # HF RoBERTa: position ids follow the cumulative non-pad count,
             # offset by pad_token_id+1
@@ -206,8 +222,9 @@ class BertModel(nn.Module):
             position_ids = jnp.cumsum(mask, axis=1) * mask + c.pad_token_id
         else:
             position_ids = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
-        h = (word(input_ids) + pos(position_ids)
-             + tok(jnp.zeros_like(input_ids)))
+        h = word(input_ids) + pos(position_ids)
+        if tok is not None:
+            h = h + tok(jnp.zeros_like(input_ids))
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="embeddings_ln")(h)
         h = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(h)
         if _os.environ.get("IDVS_SG_EMB"):

@@ -117,3 +117,81 @@ def load_torch_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
     import torch
     sd = torch.load(bin_path, map_location="cpu", weights_only=True)
     return {k: v.numpy() for k, v in sd.items()}
+
+
+# ----------------------------------------------------------------- DistilBERT
+# HF DistilBertModel (reference run.py:9 imports it in every text variant but
+# the bert_model_load dispatch never reaches it — supported here anyway).
+# Same post-LN block as BERT; torch names differ (q_lin/k_lin/v_lin/out_lin,
+# sa_layer_norm, ffn.lin1/lin2, output_layer_norm), no token-type table and
+# no pooler. The flax tree is BertModel's (type_vocab_size=0).
+
+def distilbert_torch_param_order(num_layers: int
+                                 ) -> List[Tuple[str, Tuple[str, ...]]]:
+    """[(torch_name, flax_path)] in DistilBertModel.named_parameters()
+    order (embeddings: word, position, LayerNorm w/b — no token_type)."""
+    order: List[Tuple[str, Optional[Tuple[str, ...]]]] = [
+        ("embeddings.word_embeddings.weight",
+         ("word_embeddings", "embedding")),
+        ("embeddings.position_embeddings.weight",
+         ("position_embeddings", "embedding")),
+        ("embeddings.LayerNorm.weight", ("embeddings_ln", "scale")),
+        ("embeddings.LayerNorm.bias", ("embeddings_ln", "bias")),
+    ]
+    for i in range(num_layers):
+        L = f"layer_{i}"
+        t = f"transformer.layer.{i}."
+        order += [
+            (t + "attention.q_lin.weight", (L, "attention_self", "query", "kernel")),
+            (t + "attention.q_lin.bias",   (L, "attention_self", "query", "bias")),
+            (t + "attention.k_lin.weight", (L, "attention_self", "key", "kernel")),
+            (t + "attention.k_lin.bias",   (L, "attention_self", "key", "bias")),
+            (t + "attention.v_lin.weight", (L, "attention_self", "value", "kernel")),
+            (t + "attention.v_lin.bias",   (L, "attention_self", "value", "bias")),
+            (t + "attention.out_lin.weight", (L, "attention_output", "kernel")),
+            (t + "attention.out_lin.bias",   (L, "attention_output", "bias")),
+            (t + "sa_layer_norm.weight", (L, "attention_ln", "scale")),
+            (t + "sa_layer_norm.bias",   (L, "attention_ln", "bias")),
+            (t + "ffn.lin1.weight", (L, "intermediate", "kernel")),
+            (t + "ffn.lin1.bias",   (L, "intermediate", "bias")),
+            (t + "ffn.lin2.weight", (L, "output", "kernel")),
+            (t + "ffn.lin2.bias",   (L, "output", "bias")),
+            (t + "output_layer_norm.weight", (L, "output_ln", "scale")),
+            (t + "output_layer_norm.bias",   (L, "output_ln", "bias")),
+        ]
+    return order
+
+
+def convert_distilbert_state_dict(state_dict: Dict[str, "np.ndarray"],
+                                  num_layers: int) -> Dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out: Dict = {}
+
+    def put(path: Tuple[str, ...], value: np.ndarray):
+        d = out
+        for k in path[:-1]:
+            d = d.setdefault(k, {})
+        d[path[-1]] = value
+
+    for torch_name, flax_path in distilbert_torch_param_order(num_layers):
+        if torch_name not in sd:
+            if "distilbert." + torch_name in sd:
+                torch_name = "distilbert." + torch_name
+            else:
+                raise KeyError(f"missing checkpoint tensor: {torch_name}")
+        v = sd[torch_name]
+        if flax_path[-1] == "kernel":
+            v = _t(v)
+        put(flax_path, np.asarray(v, np.float32))
+    return out
+
+
+def distilbert_frozen_paths(num_layers: int, freeze_before: int,
+                            prefix: Tuple[str, ...] = ()
+                            ) -> Set[Tuple[str, ...]]:
+    frozen = set()
+    for idx, (_n, flax_path) in enumerate(
+            distilbert_torch_param_order(num_layers)):
+        if idx < freeze_before:
+            frozen.add(prefix + flax_path)
+    return frozen

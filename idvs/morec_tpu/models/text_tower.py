@@ -96,6 +96,26 @@ def build_text_tower(cfg):
             pass
         frozen = opt_frozen_paths(ocfg.num_hidden_layers, cfg.freeze_paras_before,
                                   prefix=("encoder", "net"))
+    elif hf_cfg.model_type == "distilbert":
+        # imported by every reference text variant (run.py:9) though its
+        # bert_model_load dispatch never reaches it — supported here: same
+        # flax module (type_vocab_size=0), own torch-name/freeze-order maps
+        from .convert_text import (convert_distilbert_state_dict,
+                                   distilbert_frozen_paths)
+        bcfg = BertConfig.from_hf(hf_cfg)
+        net = BertModel(bcfg)
+        word_dim = bcfg.hidden_size
+        pooling = "cls"
+        params = None
+        try:
+            sd = load_torch_state_dict(path)
+            params = {"params": convert_distilbert_state_dict(
+                sd, bcfg.num_hidden_layers)}
+        except (FileNotFoundError, OSError):
+            pass
+        frozen = distilbert_frozen_paths(bcfg.num_hidden_layers,
+                                         cfg.freeze_paras_before,
+                                         prefix=("encoder", "net"))
     else:
         bcfg = BertConfig.from_hf(hf_cfg)
         net = BertModel(bcfg)

@@ -179,3 +179,76 @@ def test_text_tower_multi_attribute_average():
     a_a = t2.apply(params, jnp.asarray(abstract), True)
     np.testing.assert_allclose(np.asarray(out), np.asarray((a_t + a_a) / 2),
                                rtol=1e-5)
+
+
+def test_distilbert_matches_hf():
+    """DistilBERT (imported by every reference text variant, run.py:9):
+    exact-output parity + named_parameters order assertion."""
+    from transformers import (DistilBertConfig as HFC,
+                              DistilBertModel as HFM)
+    from idvs.morec_tpu.models.bert import BertConfig, BertModel
+    from idvs.morec_tpu.models.convert_text import (
+        convert_distilbert_state_dict, distilbert_torch_param_order,
+        distilbert_frozen_paths)
+
+    hf_cfg = HFC(vocab_size=500, dim=32, n_layers=3, n_heads=4,
+                 hidden_dim=64, max_position_embeddings=64,
+                 dropout=0.0, attention_dropout=0.0)
+    torch.manual_seed(0)
+    hf = HFM(hf_cfg).eval()
+
+    names = [n for n, _ in hf.named_parameters()]
+    want = [n for n, _ in distilbert_torch_param_order(3)]
+    assert names == want
+
+    rng = np.random.default_rng(1)
+    ids, attmask = _rand_inputs(rng)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(attmask))[0].numpy()
+
+    cfg = BertConfig.from_hf(hf_cfg)
+    assert cfg.type_vocab_size == 0
+    model = BertModel(cfg)
+    params = convert_distilbert_state_dict(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()}, 3)
+    got = model.apply({"params": params}, jnp.asarray(ids),
+                      jnp.asarray(attmask), True)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4)
+
+    # freeze mapping: first 4 indices are the embedding tables/LN
+    frozen = distilbert_frozen_paths(3, 4)
+    assert ("word_embeddings", "embedding") in frozen
+    assert ("embeddings_ln", "bias") in frozen
+    assert len(frozen) == 4
+
+
+def test_build_text_tower_dispatches_distilbert(tmp_path):
+    """build_text_tower loads a distilbert checkpoint dir end-to-end."""
+    from transformers import (DistilBertConfig as HFC,
+                              DistilBertModel as HFM)
+    from idvs.morec_tpu.config import Config
+    from idvs.morec_tpu.models.text_tower import build_text_tower
+
+    hf_cfg = HFC(vocab_size=120, dim=16, n_layers=2, n_heads=2,
+                 hidden_dim=32, max_position_embeddings=64,
+                 dropout=0.0, attention_dropout=0.0)
+    torch.manual_seed(1)
+    d = tmp_path / "distilbert_tiny"
+    HFM(hf_cfg).eval().save_pretrained(str(d), safe_serialization=False)
+
+    cfg = Config(item_tower="modal", loss="inbatch_ce",
+                 bert_model_load="distilbert_tiny",
+                 pretrained_models_dir=str(tmp_path),
+                 freeze_paras_before=4, embedding_dim=8,
+                 num_words_title=6, news_attributes=["title"])
+    tower, params, frozen, word_dim = build_text_tower(cfg)
+    assert word_dim == 16
+    assert ("encoder", "net", "word_embeddings", "embedding") in frozen
+    assert len(frozen) == 4
+    # packed [ids||attmask] rows through the tower
+    ids = np.concatenate([np.full((3, 6), 5, np.int32),
+                          np.ones((3, 6), np.int32)], axis=1)
+    variables = tower.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    out = tower.apply(variables, jnp.asarray(ids))
+    assert out.shape == (3, 8) and np.isfinite(np.asarray(out)).all()

@@ -96,6 +96,26 @@ def build_text_tower(cfg):
             pass
         frozen = opt_frozen_paths(ocfg.num_hidden_layers, cfg.freeze_paras_before,
                                   prefix=("encoder", "net"))
+    elif hf_cfg.model_type == "deberta":
+        # same story as DistilBERT: imported by every reference text
+        # variant, unreachable through its dispatch — supported here
+        from .deberta import (DebertaConfig, DebertaModel,
+                              convert_deberta_state_dict,
+                              deberta_frozen_paths)
+        dcfg = DebertaConfig.from_hf(hf_cfg)
+        net = DebertaModel(dcfg)
+        word_dim = dcfg.hidden_size
+        pooling = "cls"
+        params = None
+        try:
+            sd = load_torch_state_dict(path)
+            params = {"params": convert_deberta_state_dict(
+                sd, dcfg.num_hidden_layers, dcfg.num_attention_heads)}
+        except (FileNotFoundError, OSError):
+            pass
+        frozen = deberta_frozen_paths(dcfg.num_hidden_layers,
+                                      cfg.freeze_paras_before,
+                                      prefix=("encoder", "net"))
     elif hf_cfg.model_type == "distilbert":
         # imported by every reference text variant (run.py:9) though its
         # bert_model_load dispatch never reaches it — supported here: same

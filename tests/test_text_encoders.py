@@ -252,3 +252,80 @@ def test_build_text_tower_dispatches_distilbert(tmp_path):
     variables = tower.init(jax.random.PRNGKey(0), jnp.asarray(ids))
     out = tower.apply(variables, jnp.asarray(ids))
     assert out.shape == (3, 8) and np.isfinite(np.asarray(out)).all()
+
+
+def test_deberta_matches_hf():
+    """DeBERTa v1 (imported by every reference text variant, run.py:8):
+    exact-output parity of the disentangled attention + order assertion."""
+    from transformers import DebertaConfig as HFC, DebertaModel as HFM
+    from idvs.morec_tpu.models.deberta import (
+        DebertaConfig, DebertaModel, convert_deberta_state_dict,
+        deberta_torch_param_order, deberta_frozen_paths)
+
+    hf_cfg = HFC(vocab_size=500, hidden_size=32, num_hidden_layers=3,
+                 num_attention_heads=4, intermediate_size=64,
+                 max_position_embeddings=64, relative_attention=True,
+                 pos_att_type=["c2p", "p2c"], position_biased_input=False,
+                 type_vocab_size=0, hidden_dropout_prob=0.0,
+                 attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = HFM(hf_cfg).eval()
+
+    names = [n for n, _ in hf.named_parameters()]
+    want = [n for n, _ in deberta_torch_param_order(3)]
+    assert names == want
+
+    rng = np.random.default_rng(2)
+    ids, attmask = _rand_inputs(rng)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(attmask))[0].numpy()
+
+    cfg = DebertaConfig.from_hf(hf_cfg)
+    model = DebertaModel(cfg)
+    params = convert_deberta_state_dict(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()}, 3, 4)
+    got = model.apply({"params": params}, jnp.asarray(ids),
+                      jnp.asarray(attmask), True)
+    # padded rows: HF leaves garbage there (softmax over a fully-masked
+    # row); the reference pools CLS so only valid rows matter
+    valid = attmask.astype(bool)
+    np.testing.assert_allclose(np.asarray(got)[valid], ref[valid],
+                               atol=2e-4)
+
+    frozen = deberta_frozen_paths(3, 5)
+    assert ("word_embeddings", "embedding") in frozen
+    assert ("layer_0", "attention_self", "q_bias") in frozen
+    assert len(frozen) == 5
+
+
+def test_build_text_tower_dispatches_deberta(tmp_path):
+    from transformers import DebertaConfig as HFC, DebertaModel as HFM
+    from idvs.morec_tpu.config import Config
+    from idvs.morec_tpu.models.text_tower import build_text_tower
+
+    hf_cfg = HFC(vocab_size=120, hidden_size=16, num_hidden_layers=2,
+                 num_attention_heads=2, intermediate_size=32,
+                 max_position_embeddings=64, relative_attention=True,
+                 pos_att_type=["c2p", "p2c"], position_biased_input=False,
+                 type_vocab_size=0, hidden_dropout_prob=0.0,
+                 attention_probs_dropout_prob=0.0)
+    torch.manual_seed(2)
+    d = tmp_path / "deberta_tiny"
+    HFM(hf_cfg).eval().save_pretrained(str(d), safe_serialization=False)
+
+    cfg = Config(item_tower="modal", loss="inbatch_ce",
+                 bert_model_load="deberta_tiny",
+                 pretrained_models_dir=str(tmp_path),
+                 freeze_paras_before=3, embedding_dim=8,
+                 num_words_title=6, news_attributes=["title"])
+    tower, params, frozen, word_dim = build_text_tower(cfg)
+    assert word_dim == 16
+    assert params is not None
+    assert ("encoder", "net", "word_embeddings", "embedding") in frozen
+    assert len(frozen) == 3
+    ids = np.concatenate([np.full((3, 6), 5, np.int32),
+                          np.ones((3, 6), np.int32)], axis=1)
+    variables = tower.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    out = tower.apply(variables, jnp.asarray(ids))
+    assert out.shape == (3, 8) and np.isfinite(np.asarray(out)).all()

@@ -416,6 +416,15 @@ def fused_mha(qkv: jnp.ndarray, mask: jnp.ndarray = None, *, n_heads: int,
     if full:
         NBf, NBb = _pick_block_bias(T, H3, n_heads, m.shape[0], B,
                                     qkv.dtype.itemsize, bool(bias_grad))
+        if drop_rate > 0.0:
+            # The flash-style dropout mask is REGENERATED in backward from
+            # (seed + program_id) with block-shaped (NB, T, T) draws, so the
+            # two passes must run the exact same grid geometry — different
+            # row-block sizes would apply one mask in forward and a
+            # different one in backward (silently wrong gradients). The
+            # backward pick is the tighter VMEM constraint, so it always
+            # fits the forward too.
+            NBf = NBb
     else:
         NBf = NBb = _pick_block(B)
     pad = (-B) % max(NBf, NBb)

@@ -116,6 +116,9 @@ class TrainBatcher:
     max_seq_len: int
     batch_size: int       # GLOBAL batch (sum over shards)
     seed: int = 12345
+    # optional epoch -> permutation override (tests inject the reference
+    # DistributedSampler's torch.randperm order for composed-loop parity)
+    perm_fn: object = None
 
     def __post_init__(self):
         self.n = self.seqs.shape[0]
@@ -125,7 +128,10 @@ class TrainBatcher:
         return (self.n + self.batch_size - 1) // self.batch_size
 
     def epoch(self, epoch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        perm = _epoch_perm(self.n, self.seed, epoch, self.batch_size)
+        if self.perm_fn is not None:
+            perm = np.asarray(self.perm_fn(epoch))
+        else:
+            perm = _epoch_perm(self.n, self.seed, epoch, self.batch_size)
         for i in range(0, len(perm), self.batch_size):
             idx = perm[i:i + self.batch_size]
             yield self.seqs[idx], self.log_mask[idx]

@@ -150,13 +150,24 @@ class Trainer:
         def chunk(content):
             return module.apply(enc_params, content, True, rngs=rngs)
 
+        # shard each chunk's content P('data') so the frozen-encoder catalog
+        # pass runs on every chip (same sharding as eval's
+        # compute_item_embeddings)
+        n_shards = int(self.mesh.devices.size)
+        if n_shards > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P("data"))
+            shard = lambda x: jax.device_put(np.asarray(x), sh)
+        else:
+            shard = jnp.asarray
+        chunk_bs = batch * n_shards
         total = item_num + 1
-        padded = ((total + batch - 1) // batch) * batch
+        padded = ((total + chunk_bs - 1) // chunk_bs) * chunk_bs
         out = np.zeros((padded, word_dim), np.float32)
-        for start in range(0, padded, batch):
-            ids = np.minimum(np.arange(start, start + batch), item_num)
-            out[start:start + batch] = np.asarray(
-                chunk(jnp.asarray(content_provider(ids))))
+        for start in range(0, padded, chunk_bs):
+            ids = np.minimum(np.arange(start, start + chunk_bs), item_num)
+            out[start:start + chunk_bs] = np.asarray(
+                chunk(shard(content_provider(ids))))
         out = out[:total]
         out[0] = 0.0  # padding item
         return out

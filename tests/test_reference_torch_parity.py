@@ -13,9 +13,7 @@ Covered compositions:
 - IDRec + DSSM + BCE                      (bce_text/main-end2end(DSSM)/model/model.py:32-43)
 """
 
-import importlib.util
 import os
-import sys
 import types
 
 import numpy as np
@@ -26,6 +24,9 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
+from _ref_harness import (REF_ROOT, load_ref_model_class,
+                          mlp_params_from_torch, sasrec_params_from_torch,
+                          t2n)
 from idvs.morec_tpu.config import Config
 from idvs.morec_tpu.models.model import make_model
 from idvs.morec_tpu.parallel.mesh import make_mesh, replicate, shard_batch
@@ -33,7 +34,6 @@ from idvs.morec_tpu.train.state import (TrainState, default_encoder_predicate,
                                         make_optimizer, param_labels)
 from idvs.morec_tpu.train.step import make_train_step
 
-REF_ROOT = "/root/reference"
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF_ROOT),
                                 reason="reference repo not mounted")
 
@@ -44,20 +44,6 @@ ITEM_NUM, B, L, D, HEADS, BLOCKS = 40, 6, 8, 16, 2, 2
 S = L + 1
 
 
-# --------------------------------------------------------------- ref loading
-def load_ref_model_class(variant_rel: str, tag: str):
-    """Import <variant>/model as an isolated package and return its Model."""
-    d = os.path.join(REF_ROOT, variant_rel, "model")
-    pkg_name = f"_refpkg_{tag}"
-    spec = importlib.util.spec_from_file_location(
-        pkg_name, os.path.join(d, "__init__.py"),
-        submodule_search_locations=[d])
-    pkg = importlib.util.module_from_spec(spec)
-    sys.modules[pkg_name] = pkg
-    spec.loader.exec_module(pkg)
-    return pkg.Model
-
-
 def ref_args(**over):
     base = dict(max_seq_len=L, embedding_dim=D, num_attention_heads=HEADS,
                 drop_rate=0.0, transformer_block=BLOCKS,
@@ -66,48 +52,6 @@ def ref_args(**over):
                 word_embedding_dim=24, dnn_layers=0, neg_num=2)
     base.update(over)
     return types.SimpleNamespace(**base)
-
-
-# ----------------------------------------------------------- weight transfer
-def t2n(x):
-    # .numpy() shares memory with the tensor — copy so snapshots taken before
-    # the torch optimizer runs are not mutated by its in-place updates
-    return x.detach().cpu().numpy().copy()
-
-
-def sasrec_params_from_torch(user_encoder) -> dict:
-    """reference User_Encoder (model/encoders.py:7-28, modules.py:34-96)
-    -> our SASRecEncoder param subtree."""
-    te = user_encoder.transformer_encoder
-    p = {
-        "position_embedding": {"embedding": t2n(te.position_embedding.weight)},
-        "ln_in": {"scale": t2n(te.layer_norm.weight),
-                  "bias": t2n(te.layer_norm.bias)},
-    }
-    for i, blk in enumerate(te.transformer_blocks):
-        mha, ff = blk.multi_head_attention, blk.feed_forward
-        p[f"block_{i}"] = {
-            "mha": {n: {"kernel": t2n(getattr(mha, n).weight).T}
-                    for n in ("w_Q", "w_K", "w_V", "fc")},
-            "ln_attn": {"scale": t2n(mha.layer_norm.weight),
-                        "bias": t2n(mha.layer_norm.bias)},
-            "w_1": {"kernel": t2n(ff.w_1.weight).T, "bias": t2n(ff.w_1.bias)},
-            "w_2": {"kernel": t2n(ff.w_2.weight).T, "bias": t2n(ff.w_2.bias)},
-            "ln_ffn": {"scale": t2n(ff.layer_norm.weight),
-                       "bias": t2n(ff.layer_norm.bias)},
-        }
-    return p
-
-
-def mlp_params_from_torch(mlp_encoder) -> dict:
-    """reference MLP_Encoder -> our MLPEncoder subtree ({} when identity)."""
-    if mlp_encoder.dnn_layers == 0:
-        return {}
-    linears = [m for m in mlp_encoder.MLP.mlp_layers
-               if isinstance(m, torch.nn.Linear)]
-    return {"mlp": {f"Dense_{i}": {"kernel": t2n(m.weight).T,
-                                   "bias": t2n(m.bias)}
-                    for i, m in enumerate(linears)}}
 
 
 # ----------------------------------------------------------------- fixtures

@@ -77,3 +77,58 @@ def make_optimizer(cfg, labels=None) -> optax.GradientTransformation:
 def count_params(params) -> Dict[str, int]:
     total = sum(x.size for x in jax.tree.leaves(params))
     return {"total": int(total)}
+
+
+# --------------------------------------------------------------- ZeRO-1 table
+# The dense AdamW pass over the (item_num+1, D) embedding table is the
+# measured IDRec floor (~2.1 ms/step at 100k x 512 on one v5e chip: read
+# g,m,v,p + write m,v,p = 7 HBM passes, PARITY.md "IDRec bound"). On a mesh
+# the math is row-separable, so the moments are stored SHARDED P('data') and
+# GSPMD partitions the update: each chip reads/writes only its row block and
+# the updated params are all-gathered once — bit-identical elementwise math,
+# n_chips x less moment traffic and memory (ZeRO stage 1, applied to the one
+# tensor that dominates; the reference's torch AdamW is fully replicated,
+# inbatch_sasrec_e2e_text/run.py:191).
+
+ZERO1_MIN_ROWS = 4096   # don't bother sharding tiny tables
+
+
+def _zero1_leaf(path, leaf) -> bool:
+    keys = {getattr(p, "key", getattr(p, "idx", None)) for p in path}
+    return (hasattr(leaf, "ndim") and leaf.ndim == 2
+            and leaf.shape[0] >= ZERO1_MIN_ROWS
+            and ({"id_embedding", "user_embedding"} & keys) != set())
+
+
+def shard_table_opt_state(opt_state, mesh):
+    """Place the embedding-table moment leaves of an optax state sharded
+    P('data') over the mesh rows (uneven row counts are fine — GSPMD pads
+    internally; this is NOT a shard_map boundary). Everything else stays
+    replicated. No-op on 1-device meshes."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh.devices.size <= 1:
+        return opt_state
+    rows = NamedSharding(mesh, P("data", None))
+
+    def place(path, leaf):
+        if _zero1_leaf(path, leaf):
+            return jax.device_put(leaf, rows)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(place, opt_state)
+
+
+def constrain_table_opt_state(opt_state, mesh):
+    """In-jit sharding constraints keeping the table moments P('data') across
+    steps (XLA would otherwise be free to re-replicate them)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rows = NamedSharding(mesh, P("data", None))
+
+    def constrain(path, leaf):
+        if _zero1_leaf(path, leaf):
+            return jax.lax.with_sharding_constraint(leaf, rows)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(constrain, opt_state)

@@ -218,11 +218,13 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
                          method="user_states", rngs=rngs)
         if cfg.use_pallas and not gather:
             from ..ops.pallas.inbatch_ce import fused_inbatch_ce
-            loss = fused_inbatch_ce(uv, embs, ids, lm, log_pop[ids])
+            loss = fused_inbatch_ce(uv, embs, ids, lm, log_pop[ids],
+                                    interpret=jax.default_backend() != "tpu")
         elif cfg.use_pallas and gather:
             from ..ops.pallas.inbatch_ce import fused_inbatch_ce_gathered
-            loss = fused_inbatch_ce_gathered(uv, embs, ids, lm,
-                                             log_pop[ids], axis)
+            loss = fused_inbatch_ce_gathered(
+                uv, embs, ids, lm, log_pop[ids], axis,
+                interpret=jax.default_backend() != "tpu")
         else:
             loss = inbatch_debiased_ce(uv, embs, ids, lm, log_pop[ids],
                                        axis_name=axis,

@@ -152,6 +152,162 @@ def save_epochs(hits):
     return out
 
 
+class WordHashTokenizer:
+    """Deterministic HF-tokenizer stand-in (same callable contract as
+    tokenizer(text, max_length=, padding='max_length', truncation=True)
+    used by both preprocess paths). Shared by BOTH sides so the token
+    matrices are identical."""
+
+    def __init__(self, vocab_size=64):
+        self.vocab_size = vocab_size
+
+    def __call__(self, text, max_length, padding="max_length",
+                 truncation=True):
+        import zlib
+        ids = [2 + (zlib.crc32(w.encode()) % (self.vocab_size - 3))
+               for w in text.split()][:max_length]
+        mask = [1] * len(ids)
+        pad = max_length - len(ids)
+        return {"input_ids": ids + [0] * pad,
+                "attention_mask": mask + [0] * pad}
+
+
+def test_composed_loop_modal_save_resume_parity(tmp_path, monkeypatch):
+    """Text MoRec composed loop incl. the reference's save-best checkpoints
+    (run.py:264-267 writes only for modal runs) and the RESUME path
+    (run.py:130-145: load_state_dict + start_epoch from filename + RNG +
+    optimizer + scaler restore) — executed verbatim vs Trainer."""
+    import types
+
+    from transformers import BertConfig as HFBertConfig, BertModel as HFBertModel
+    from idvs.morec_tpu.models.bert import BertConfig, BertModel
+    from idvs.morec_tpu.models.convert_text import convert_bert_state_dict
+    from idvs.morec_tpu.models.text_tower import TextTower
+    from idvs.morec_tpu.models import encoders_zoo
+
+    rng = np.random.default_rng(43)
+    root = write_tsvs(tmp_path, rng)
+    run_mod = load_ref_run("inbatch_sasrec_e2e_text", "loop_modal")
+    RefModel = load_ref_model_class("inbatch_sasrec_e2e_text",
+                                    "loop_modal_snap")
+    tok = WordHashTokenizer()
+    T = 8
+    # bert-tiny GEOMETRY (2 layers, hidden 128) so run.py's name-keyed side
+    # table (pooler [37,38], word_embedding_dim 128, run.py:55-57) is correct
+    hf_cfg = HFBertConfig(vocab_size=64, hidden_size=128, num_hidden_layers=2,
+                          num_attention_heads=2, intermediate_size=256,
+                          max_position_embeddings=32, hidden_dropout_prob=0.0,
+                          attention_probs_dropout_prob=0.0)
+    torch.manual_seed(100)
+    hf_main = HFBertModel(hf_cfg)
+    init_sd = {k: v.clone() for k, v in hf_main.state_dict().items()}
+    monkeypatch.setattr(run_mod, "BertTokenizer",
+                        types.SimpleNamespace(from_pretrained=lambda p: tok))
+    monkeypatch.setattr(run_mod, "BertConfig", types.SimpleNamespace(
+        from_pretrained=lambda p, **k: hf_cfg))
+    monkeypatch.setattr(run_mod, "BertModel", types.SimpleNamespace(
+        from_pretrained=lambda p, config=None: hf_main))
+
+    def margs(**over):
+        return ref_loop_args(root, bert_model_load="bert-tiny",
+                             freeze_paras_before=0, num_words_title=T,
+                             word_embedding_dim=128, **over)
+
+    # ---- snapshot the initial weights train() will draw (same seed/order)
+    hf_snap = HFBertModel(hf_cfg)
+    hf_snap.load_state_dict(init_sd)
+    cfg = our_cfg(root, item_tower="modal", modality="text",
+                  num_words_title=T, word_embedding_dim=128,
+                  bert_model_load="bert-tiny", freeze_paras_before=0)
+    torch.manual_seed(SEED_MODEL)
+    # pop probs don't affect RNG consumption; any array of the right size works
+    snap = RefModel(margs(), N_ITEMS, True, hf_snap,
+                    np.ones(N_ITEMS + 1))
+    snap_ue = sasrec_params_from_torch(snap.user_encoder)
+    fc = snap.bert_encoder.text_encoders["title"].fc
+    snap_fc = {"kernel": t2n(fc.weight).T, "bias": t2n(fc.bias)}
+
+    bcfg = BertConfig.from_hf(hf_cfg)
+    net_params = convert_bert_state_dict(init_sd, hf_cfg.num_hidden_layers)
+
+    def make_bundle():
+        tower = TextTower(net=BertModel(bcfg), embedding_dim=D,
+                          word_embedding_dim=128, pooling="cls",
+                          attr_lengths=(T,))
+        return (tower, {"params": net_params}, set(), 128)
+
+    def transfer(p, tr):
+        p["params"]["user_encoder"] = jax.tree.map(jnp.asarray, snap_ue)
+        p["params"]["encoder"]["fc"] = jax.tree.map(jnp.asarray, snap_fc)
+
+    monkeypatch.setattr(encoders_zoo, "load_tokenizer", lambda c: tok)
+
+    def run_ours_modal(cfg_run):
+        monkeypatch.chdir(tmp_path)
+        mesh = make_mesh(jax.devices("cpu")[:1])
+        tr = Trainer(cfg_run, log_file=null_logger("ours_modal"), mesh=mesh,
+                     encoder_bundle=make_bundle())
+        tr.load_data()
+        tr.build_model()
+        p = jax.device_get(tr.state.params)
+        transfer(p, tr)
+        tr.state = tr.state.replace(params=replicate(mesh, p))
+        tr.batcher.perm_fn = torch_sampler_perm
+        hits = []
+        real_eval = tr.run_eval
+
+        def spy(users="valid"):
+            r = real_eval(users)
+            hits.append(float(r[0]))
+            return r
+
+        tr.run_eval = spy
+        tr.train()
+        return hits, tr
+
+    # ---- fresh 3-epoch runs both sides
+    cfg3 = our_cfg(root, item_tower="modal", modality="text",
+                   num_words_title=T, word_embedding_dim=128,
+                   bert_model_load="bert-tiny", freeze_paras_before=0,
+                   epoch=3)
+    our_hits, tr3 = run_ours_modal(cfg3)
+
+    torch.manual_seed(SEED_MODEL)
+    ref_hits = run_reference(run_mod, margs(epoch=3), tmp_path, monkeypatch,
+                             use_modal=True)
+    np.testing.assert_allclose(our_hits, ref_hits, rtol=0, atol=1e-6)
+
+    # the reference wrote epoch-N.pt exactly at improvement epochs; ours
+    # wrote epoch-N.ckpt at the same epochs
+    saves = save_epochs(ref_hits)
+    ref_dir = tmp_path / "ref_ckpt"
+    ref_saved = sorted(int(f.split("-")[1].split(".")[0])
+                       for f in os.listdir(ref_dir) if f.startswith("epoch"))
+    assert ref_saved == saves
+    for e in saves:
+        assert os.path.exists(os.path.join(tr3.model_dir, f"epoch-{e}.ckpt"))
+
+    # ---- resume from the last saved epoch, 1 more epoch, both sides
+    last = ref_saved[-1]
+    torch.manual_seed(999)   # resume must NOT depend on the ambient RNG
+    ref_hits_res = run_reference(
+        run_mod, margs(epoch=1, load_ckpt_name=f"epoch-{last}.pt"),
+        tmp_path, monkeypatch, use_modal=True)
+
+    cfg_res = our_cfg(root, item_tower="modal", modality="text",
+                      num_words_title=T, word_embedding_dim=128,
+                      bert_model_load="bert-tiny", freeze_paras_before=0,
+                      epoch=1, load_ckpt_name=f"epoch-{last}.ckpt")
+    our_hits_res, _ = run_ours_modal(cfg_res)
+    assert len(ref_hits_res) == len(our_hits_res) == 1
+    # Each side's resumed epoch bit-matches its own fresh 4-epoch run
+    # (measured; ours also proven in test_resume_and_eval_parity), but at
+    # step 12 cross-framework f32 drift flips ONE of the 24 users across the
+    # top-10 boundary (fresh 4-epoch runs show the same 0.2917-vs-0.25 gap).
+    # Hit@10 is discrete in 1/N — allow exactly that one-user flip.
+    assert abs(our_hits_res[0] - ref_hits_res[0]) <= 1.0 / N_USERS + 1e-6
+
+
 def test_composed_loop_idrec_parity(tmp_path, monkeypatch):
     rng = np.random.default_rng(42)
     root = write_tsvs(tmp_path, rng)

@@ -147,6 +147,14 @@ class Config:
     # per-step (the compiled program returns all k losses); logging text and
     # cadence are unchanged. Leftover batches at epoch end run single-step.
     steps_per_dispatch: int = 1
+    # ZeRO-1 for the embedding table on multi-chip meshes: the table's AdamW
+    # moments are stored sharded P('data') and the update is row-partitioned
+    # by GSPMD, with one params all-gather per step — bit-identical math
+    # (tests/test_zero1_table.py), n_chips x less moment HBM traffic and
+    # memory on the measured IDRec floor (PARITY.md "IDRec bound": the dense
+    # table pass is ~2.1 ms of a ~5 ms step at 100k x 512). No effect on
+    # 1-device meshes.
+    zero1_table: bool = True
     profile_dir: str = ""               # jax.profiler trace dir ('' = off)
 
     def __post_init__(self):

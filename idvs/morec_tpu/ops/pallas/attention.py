@@ -448,6 +448,11 @@ def fused_mha(qkv: jnp.ndarray, mask: jnp.ndarray = None, *, n_heads: int,
         qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
         if not cyclic:
             m = jnp.pad(m, ((0, pad),) + ((0, 0),) * (m.ndim - 1))
+    # NOTE: drop_rate > 0 requires a real TPU — interpret mode has no
+    # lowering for the TPU PRNG primitives (and the TPU-interpret emulator
+    # returns all-zero bits, i.e. silently drops everything). The grid
+    # invariant is covered structurally on CPU and behaviorally on TPU in
+    # tests/test_fused_attention.py.
     out = _build(n_heads, float(drop_rate), bool(interpret), full,
                  bool(bias_grad and full),
                  NBf if full else 0, NBb if full else 0)(qkv, m, seed)

@@ -72,6 +72,9 @@ class Retriever:
         self.batch_sizes = tuple(sorted(int(b) for b in batch_sizes))
         self.exclude_history = bool(exclude_history)
         self.mesh = mesh
+        self._compiled_cache = {}   # (B, top_k) -> jitted step; an instance
+        # dict, NOT functools.lru_cache on the method (that caches `self`
+        # globally — a leak pattern in long-lived servers)
         self.true_rows = int(item_table.shape[0])
         if mesh is not None:
             # shard the catalog rows over the mesh; pad to an even split
@@ -101,8 +104,16 @@ class Retriever:
                                        content_fn=content_fn)
 
     # ------------------------------------------------------------- serve
-    @functools.lru_cache(maxsize=None)
     def _compiled(self, B: int, top_k: int):
+        key = (B, top_k)
+        hit = self._compiled_cache.get(key)
+        if hit is not None:
+            return hit
+        step = self._build_step(top_k)
+        self._compiled_cache[key] = step
+        return step
+
+    def _build_step(self, top_k: int):
         model, user_tower = self.model, self.user_tower
         exclude = self.exclude_history
 
@@ -136,7 +147,6 @@ class Retriever:
         K candidates per shard ride one small all-gather over ICI before a
         final merge — the (B, I+1) score matrix never materializes on any
         one chip and the catalog scales with the mesh."""
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
         mesh = self.mesh
         model, user_tower = self.model, self.user_tower
@@ -182,10 +192,10 @@ class Retriever:
             fv, fi = jax.lax.top_k(av, top_k)
             return fv, jnp.take_along_axis(ai, fi, axis=1)
 
-        stepped = shard_map(body, mesh=mesh,
-                            in_specs=(P(), P("data", None), P(), P()),
-                            out_specs=(P(), P()),
-                            check_rep=False)
+        stepped = jax.shard_map(body, mesh=mesh,
+                                in_specs=(P(), P("data", None), P(), P()),
+                                out_specs=(P(), P()),
+                                check_vma=False)
         return jax.jit(stepped)
 
     def _bucket(self, n: int) -> int:
@@ -235,5 +245,20 @@ class Retriever:
             rngs = {"masking": jax.random.PRNGKey(0)}
             embeddings = self.model.apply(self.params, ids, content, True,
                                           method="item_embs", rngs=rngs)
-        self.item_table = self.item_table.at[ids].set(
-            jnp.asarray(embeddings, self.item_table.dtype))
+        embeddings = jnp.asarray(embeddings, self.item_table.dtype)
+        if self.mesh is None:
+            self.item_table = self.item_table.at[ids].set(embeddings)
+            return
+        # Mesh-sharded catalog: an eager .at[].set would let XLA pick the
+        # scatter's output sharding (measured: it re-replicates — a full-table
+        # copy through every chip). Pin the result to the catalog's own
+        # P('data', None) row sharding so the splice stays a local-row
+        # scatter + tiny update broadcast.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rows = NamedSharding(self.mesh, P("data", None))
+
+        @functools.partial(jax.jit, out_shardings=rows, donate_argnums=(0,))
+        def splice(table, ids, emb):
+            return table.at[ids].set(emb)
+
+        self.item_table = splice(self.item_table, ids, embeddings)

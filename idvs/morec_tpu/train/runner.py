@@ -369,8 +369,12 @@ class Trainer:
             import optax
             self.tx = optax.MultiSteps(self.tx, cfg.accumulation_step)
         params = replicate(self.mesh, params)
+        opt_state = self.tx.init(params["params"])
+        if cfg.zero1_table:
+            from .state import shard_table_opt_state
+            opt_state = shard_table_opt_state(opt_state, self.mesh)
         self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                                opt_state=self.tx.init(params["params"]),
+                                opt_state=opt_state,
                                 dropout_rng=self.dropout_seed)
         self.train_step = make_train_step(self.model, cfg, self.tx, self.mesh,
                                           item_content=self.item_content,
@@ -472,7 +476,12 @@ class Trainer:
             else:
                 ckpt_path = get_checkpoint(self.model_dir, cfg.load_ckpt_name)
             self.state, payload = load_checkpoint(ckpt_path, self.state)
-            self.state = self.state.replace(params=replicate(self.mesh, self.state.params))
+            self.state = self.state.replace(
+                params=replicate(self.mesh, self.state.params))
+            if cfg.zero1_table:
+                from .state import shard_table_opt_state
+                self.state = self.state.replace(opt_state=shard_table_opt_state(
+                    self.state.opt_state, self.mesh))
             start_epoch = epoch_from_name(cfg.load_ckpt_name)
             is_early_stop = False
             self.log.info(f"Model loaded from {ckpt_path}")

@@ -93,42 +93,75 @@ def count_params(params) -> Dict[str, int]:
 ZERO1_MIN_ROWS = 4096   # don't bother sharding tiny tables
 
 
-def _zero1_leaf(path, leaf) -> bool:
+def _zero1_spec(path, leaf, n_shards):
+    """PartitionSpec for an embedding-table moment leaf, or None.
+
+    Stored jax.Arrays need even shard sizes, so shard rows when the row
+    count divides the mesh, else columns (embedding_dim is a power-of-two
+    multiple in every reference config; the flagship IDRec table is
+    100001 x 512 — column-sharded on an 8-chip mesh)."""
     keys = {getattr(p, "key", getattr(p, "idx", None)) for p in path}
-    return (hasattr(leaf, "ndim") and leaf.ndim == 2
+    if not (hasattr(leaf, "ndim") and leaf.ndim == 2
             and leaf.shape[0] >= ZERO1_MIN_ROWS
-            and ({"id_embedding", "user_embedding"} & keys) != set())
+            and ({"id_embedding", "user_embedding"} & keys)):
+        return None
+    from jax.sharding import PartitionSpec as P
+
+    if leaf.shape[0] % n_shards == 0:
+        return P("data", None)
+    if leaf.shape[1] % n_shards == 0:
+        return P(None, "data")
+    return None
 
 
 def shard_table_opt_state(opt_state, mesh):
     """Place the embedding-table moment leaves of an optax state sharded
-    P('data') over the mesh rows (uneven row counts are fine — GSPMD pads
-    internally; this is NOT a shard_map boundary). Everything else stays
+    over the mesh (rows when divisible, else columns). Everything else stays
     replicated. No-op on 1-device meshes."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding
 
-    if mesh.devices.size <= 1:
+    W = int(mesh.devices.size)
+    if W <= 1:
         return opt_state
-    rows = NamedSharding(mesh, P("data", None))
 
     def place(path, leaf):
-        if _zero1_leaf(path, leaf):
-            return jax.device_put(leaf, rows)
+        spec = _zero1_spec(path, leaf, W)
+        if spec is not None:
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
         return leaf
 
     return jax.tree_util.tree_map_with_path(place, opt_state)
 
 
-def constrain_table_opt_state(opt_state, mesh):
-    """In-jit sharding constraints keeping the table moments P('data') across
-    steps (XLA would otherwise be free to re-replicate them)."""
+def constrain_params_replicated(params, mesh):
+    """Force the updated table params back to full replication — this is the
+    ZeRO-1 all-gather, placed explicitly at the end of the step so the next
+    step's forward (and the shard_map entry) sees replicated params."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    rows = NamedSharding(mesh, P("data", None))
+    W = int(mesh.devices.size)
+    full = NamedSharding(mesh, P())
 
     def constrain(path, leaf):
-        if _zero1_leaf(path, leaf):
-            return jax.lax.with_sharding_constraint(leaf, rows)
+        if _zero1_spec(path, leaf, W) is not None:
+            return jax.lax.with_sharding_constraint(leaf, full)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(constrain, params)
+
+
+def constrain_table_opt_state(opt_state, mesh):
+    """In-jit sharding constraints keeping the table moments sharded across
+    steps (XLA would otherwise be free to re-replicate them)."""
+    from jax.sharding import NamedSharding
+
+    W = int(mesh.devices.size)
+
+    def constrain(path, leaf):
+        spec = _zero1_spec(path, leaf, W)
+        if spec is not None:
+            return jax.lax.with_sharding_constraint(
+                leaf, NamedSharding(mesh, spec))
         return leaf
 
     return jax.tree_util.tree_map_with_path(constrain, opt_state)

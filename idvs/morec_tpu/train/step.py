@@ -271,10 +271,10 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
 
         return _dispatch(single_step)
 
-    def sharded_step(state: TrainState, batch):
-        rng = jax.random.fold_in(state.dropout_rng, state.step)
+    def sharded_grads(params, step_count, dropout_rng, batch):
+        rng = jax.random.fold_in(dropout_rng, step_count)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS))
-        trainable, aux = _split(state.params)
+        trainable, aux = _split(params)
         (loss, new_aux), grads = jax.value_and_grad(
             local_loss, has_aux=True)(trainable, aux, batch, rng,
                                       cfg.gather_negatives, AXIS)
@@ -282,15 +282,36 @@ def make_train_step(model, cfg, tx, mesh: Mesh,
         loss = jax.lax.pmean(loss, AXIS)
         # cross-replica running stats (SyncBN parity): per-shard batch stats
         # already pmean'd by the norm's axis_name; running averages now agree
-        return _update(state, loss, grads, new_aux)
+        return loss, grads, new_aux
 
     mapped = jax.shard_map(
-        sharded_step, mesh=mesh,
-        in_specs=(P(), P(AXIS)),
-        out_specs=(P(), P()),
+        sharded_grads, mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS)),
+        out_specs=(P(), P(), P()),
         check_vma=False)
+
+    # The optimizer update runs OUTSIDE shard_map as plain GSPMD: with the
+    # embedding-table AdamW moments stored sharded P('data')
+    # (state.shard_table_opt_state), XLA partitions the table update by rows
+    # (ZeRO-1) and all-gathers the fresh params once — bit-identical math,
+    # n_chips x less moment traffic on the measured IDRec floor.
+    zero1 = getattr(cfg, "zero1_table", True) and not single_device
+
+    def sharded_step(state: TrainState, batch):
+        loss, grads, new_aux = mapped(state.params, state.step,
+                                      state.dropout_rng, batch)
+        new_state, loss = _update(state, loss, grads, new_aux)
+        if zero1:
+            from .state import (constrain_params_replicated,
+                                constrain_table_opt_state)
+            new_state = new_state.replace(
+                params=constrain_params_replicated(new_state.params, mesh),
+                opt_state=constrain_table_opt_state(new_state.opt_state,
+                                                    mesh))
+        return new_state, loss
+
     # n_steps > 1: scan over the leading batch-group axis; each scan
-    # iteration dispatches the shard_map'd step on its (B, ...) slice
+    # iteration dispatches the shard_map'd grad pass on its (B, ...) slice
     # (slicing happens outside shard_map, so the per-step in_specs are
     # unchanged).
-    return _dispatch(mapped)
+    return _dispatch(sharded_step)

@@ -364,3 +364,86 @@ def test_bert_model_fused_ffn_matches_xla():
         # grads (the kernel reduces block-wise, XLA in one pass)
         np.testing.assert_allclose(np.asarray(vp), np.asarray(flat_x[path]),
                                    rtol=5e-4, atol=6e-5, err_msg=str(path))
+
+
+def test_dropout_forces_equal_fwd_bwd_blocks():
+    """Regression for the NBf==NBb dropout invariant (ADVICE r2): the
+    flash-style dropout mask is REGENERATED in backward from
+    (seed + program_id) with block-shaped (NB, T, T) draws, so forward and
+    backward must run the same grid geometry — fused_mha forces NBf=NBb
+    whenever drop_rate>0 on the bias path. Structural check on CPU (the
+    kernel PRNG only exists on real TPUs): capture the NB pair handed to
+    _build at a geometry where the unforced picks DIFFER."""
+    from idvs.morec_tpu.ops.pallas import attention as A
+
+    B, T, nh, dh = 32, 16, 8, 16
+    H = nh * dh
+    nbf, nbb = A._pick_block_bias(T, 3 * H, nh, B, B, 4, True)
+    assert nbf != nbb, (nbf, nbb)   # the invariant is load-bearing here
+
+    captured = {}
+    real_build = A._build
+
+    def spy(nh_, p_, interpret_, full_=False, bias_grad_=False,
+            NBf_=0, NBb_=0):
+        captured[p_] = (NBf_, NBb_)
+        if p_ > 0.0:
+            # don't actually run the dropout kernel on CPU — no PRNG
+            return lambda qkv, m, seed: jnp.zeros(
+                (qkv.shape[0], qkv.shape[1], qkv.shape[2] // 3), qkv.dtype)
+        return real_build(nh_, p_, interpret_, full_, bias_grad_, NBf_, NBb_)
+
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(0, 1, (B, T, 3 * H)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 1, (B, nh, T, T)), jnp.float32)
+    A._build = spy
+    try:
+        A.fused_mha(qkv, n_heads=nh, bias=bias, bias_grad=True,
+                    drop_rate=0.5, dropout_rng=jax.random.PRNGKey(0),
+                    interpret=True)
+        A.fused_mha(qkv, n_heads=nh, bias=bias, bias_grad=True,
+                    drop_rate=0.0, interpret=True)
+    finally:
+        A._build = real_build
+    # without dropout the picks stay split; with dropout they are forced equal
+    assert captured[0.0] == (nbf, nbb)
+    f, b = captured[0.5]
+    assert f == b == nbb, captured[0.5]
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="kernel PRNG dropout needs a real TPU")
+def test_dropout_fwd_bwd_mask_agreement_tpu():
+    """Behavioral check of the same invariant on hardware: attention output
+    is LINEAR in V for a FIXED dropped-prob matrix, so
+    L(v + dv) - L(v) == <grad_v L, dv> exactly (up to f32 noise). If the
+    backward pass regenerated a DIFFERENT mask than forward, grad_v would
+    be P_bwd^T G while the difference sees P_fwd^T G — the identity breaks.
+    (Validated on v5e — tools/check_dropout_grid.py runs this standalone.)"""
+    from idvs.morec_tpu.ops.pallas.attention import _pick_block_bias, fused_mha
+
+    B, T, nh, dh = 32, 16, 8, 16
+    H = nh * dh
+    nbf, nbb = _pick_block_bias(T, 3 * H, nh, B, B, 4, True)
+    assert nbf != nbb, (nbf, nbb)
+
+    rng = np.random.default_rng(0)
+    qk = jnp.asarray(rng.normal(0, 1, (B, T, 2 * H)), jnp.float32)
+    v0 = jnp.asarray(rng.normal(0, 1, (B, T, H)), jnp.float32)
+    dv = jnp.asarray(rng.normal(0, 1, (B, T, H)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 1, (B, nh, T, T)), jnp.float32)
+    g = jnp.asarray(rng.normal(0, 1, (B, T, H)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    def loss(v):
+        out = fused_mha(jnp.concatenate([qk, v], axis=-1), n_heads=nh,
+                        bias=bias, bias_grad=True, drop_rate=0.5,
+                        dropout_rng=key)
+        return jnp.vdot(out, g)
+
+    l0, grad_v = jax.value_and_grad(loss)(v0)
+    l1 = loss(v0 + dv)
+    lhs = float(l1 - l0)
+    rhs = float(jnp.vdot(grad_v, dv))
+    assert lhs != 0.0
+    np.testing.assert_allclose(lhs, rhs, rtol=2e-4)

@@ -135,3 +135,32 @@ def test_sharded_catalog_matches_single_device():
     np.testing.assert_allclose(sc_m, sc_s, rtol=1e-5, atol=1e-6)
     mismatch = ids_m != ids_s
     assert (sc_m[mismatch] == sc_s[mismatch]).all()   # ties only
+
+
+def test_sharded_update_items_stays_sharded_and_correct():
+    """update_items on a mesh-sharded catalog must keep the table row-sharded
+    (no full-copy re-replication) and serve the spliced item correctly."""
+    from idvs.morec_tpu.parallel.mesh import make_mesh
+    model, params, table = _build()
+    mesh = make_mesh(jax.devices())
+    r = Retriever(model, params, table, max_seq_len=L,
+                  batch_sizes=(1,), mesh=mesh)
+    n = 8
+    total = int(r.item_table.shape[0])
+    assert total % n == 0
+
+    hist_ids, mask = pad_histories([[3, 7]], L)
+    embs = np.asarray(table)[hist_ids]
+    states = model.apply(params, jnp.asarray(embs), jnp.asarray(mask), True,
+                         method="user_states")
+    uvec = np.asarray(states)[0, -1]
+    r.update_items([49], embeddings=jnp.asarray(uvec[None] * 100.0))
+
+    # still one row block per device, not a replicated copy
+    shard_rows = {s.data.shape[0] for s in r.item_table.addressable_shards}
+    assert shard_rows == {total // n}, shard_rows
+    ids1, _ = r.recommend([[3, 7]], top_k=1)
+    assert ids1[0, 0] == 49
+    # and the spliced row round-trips exactly
+    np.testing.assert_allclose(np.asarray(r.item_table[49]), uvec * 100.0,
+                               rtol=1e-6, atol=0)

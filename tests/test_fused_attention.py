@@ -416,9 +416,15 @@ def test_dropout_forces_equal_fwd_bwd_blocks():
 def test_dropout_fwd_bwd_mask_agreement_tpu():
     """Behavioral check of the same invariant on hardware: attention output
     is LINEAR in V for a FIXED dropped-prob matrix, so
-    L(v + dv) - L(v) == <grad_v L, dv> exactly (up to f32 noise). If the
-    backward pass regenerated a DIFFERENT mask than forward, grad_v would
-    be P_bwd^T G while the difference sees P_fwd^T G — the identity breaks.
+    L(2v) - L(v) == <grad_v L, v>. If the backward pass regenerated a
+    DIFFERENT mask than forward, grad_v would be P_bwd^T G while the
+    difference sees P_fwd^T G — the identity breaks at O(drop_rate) scale.
+
+    Numerics: the MXU's default-precision f32 dots ROUND INPUTS TO BF16
+    (measured: additivity in v fails at 2^-8 scale while scaling by 2 is
+    EXACT), so the probe uses bf16-representable inputs and the direction
+    dv = v (doubling is exact in any binary format) — any residual is f32
+    accumulation-order noise (~1e-4), far below a mask mismatch (≥1%).
     (Validated on v5e — tools/check_dropout_grid.py runs this standalone.)"""
     from idvs.morec_tpu.ops.pallas.attention import _pick_block_bias, fused_mha
 
@@ -428,11 +434,15 @@ def test_dropout_fwd_bwd_mask_agreement_tpu():
     assert nbf != nbb, (nbf, nbb)
 
     rng = np.random.default_rng(0)
-    qk = jnp.asarray(rng.normal(0, 1, (B, T, 2 * H)), jnp.float32)
-    v0 = jnp.asarray(rng.normal(0, 1, (B, T, H)), jnp.float32)
-    dv = jnp.asarray(rng.normal(0, 1, (B, T, H)), jnp.float32)
-    bias = jnp.asarray(rng.normal(0, 1, (B, nh, T, T)), jnp.float32)
-    g = jnp.asarray(rng.normal(0, 1, (B, T, H)), jnp.float32)
+
+    def bf16_exact(shape):
+        x = rng.normal(0, 1, shape).astype(np.float32)
+        return jnp.asarray(jnp.asarray(x, jnp.bfloat16), jnp.float32)
+
+    qk = bf16_exact((B, T, 2 * H))
+    v0 = bf16_exact((B, T, H))
+    bias = bf16_exact((B, nh, T, T))
+    g = bf16_exact((B, T, H))
     key = jax.random.PRNGKey(7)
 
     def loss(v):
@@ -442,8 +452,8 @@ def test_dropout_fwd_bwd_mask_agreement_tpu():
         return jnp.vdot(out, g)
 
     l0, grad_v = jax.value_and_grad(loss)(v0)
-    l1 = loss(v0 + dv)
+    l1 = loss(2.0 * v0)
     lhs = float(l1 - l0)
-    rhs = float(jnp.vdot(grad_v, dv))
+    rhs = float(jnp.vdot(grad_v, v0))
     assert lhs != 0.0
-    np.testing.assert_allclose(lhs, rhs, rtol=2e-4)
+    np.testing.assert_allclose(lhs, rhs, rtol=5e-3)

@@ -53,6 +53,11 @@ class BertConfig:
     # XLA composition elsewhere. True forces the kernel (interpret mode on
     # CPU — tests).
     fused_ffn: bool = None
+    # None = auto: run the word-embedding backward scatter-add as the Pallas
+    # VMEM-resident kernel (ops/pallas/embed_scatter.py) on TPU — measured
+    # 5.1 ms vs XLA's serialized scatter at the bench geometry. True forces
+    # it (interpret mode on CPU — tests). Forward gather is unchanged.
+    fused_embed_backward: bool = None
 
     @classmethod
     def from_hf(cls, hf_cfg) -> "BertConfig":
@@ -201,6 +206,32 @@ class BertLayer(nn.Module):
                             name="output_ln")(_fence(hidden + out))
 
 
+class _ScatterEmbed(nn.Embed):
+    """nn.Embed whose table-gradient scatter-add runs as the Pallas
+    VMEM-resident kernel (ops/pallas/embed_scatter.py). Forward gather and
+    param tree are identical to nn.Embed; only the backward schedule changes
+    (accumulation is f32 — tighter than XLA's bf16 scatter under AMP)."""
+
+    def __call__(self, inputs):
+        from ..ops.pallas.embed_scatter import embed_gather
+        return embed_gather(self.embedding, inputs,
+                            interpret=jax.default_backend() != "tpu")
+
+
+def pick_embed(vocab_size: int, hidden_size: int, override: bool = None):
+    """nn.Embed or the Pallas-backward edition, per the standard gate
+    (override; else TPU backend + IDVS_NO_PSCATTER escape hatch) and the
+    kernel's VMEM stripe bound."""
+    use = override
+    if use is None:
+        use = (jax.default_backend() == "tpu"
+               and not _os.environ.get("IDVS_NO_PSCATTER"))
+    if use:
+        from ..ops.pallas.embed_scatter import kernel_supported
+        use = kernel_supported(vocab_size, hidden_size)
+    return _ScatterEmbed if use else nn.Embed
+
+
 class BertModel(nn.Module):
     """input_ids + attention_mask -> last hidden state (B, T, H)."""
     cfg: BertConfig
@@ -209,7 +240,9 @@ class BertModel(nn.Module):
     def __call__(self, input_ids, attention_mask, deterministic: bool = True):
         c = self.cfg
         B, T = input_ids.shape
-        word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")
+        WordEmbed = pick_embed(c.vocab_size, c.hidden_size,
+                               c.fused_embed_backward)
+        word = WordEmbed(c.vocab_size, c.hidden_size, name="word_embeddings")
         pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
                        name="position_embeddings")
         tok = (nn.Embed(c.type_vocab_size, c.hidden_size,
@@ -220,11 +253,18 @@ class BertModel(nn.Module):
             # offset by pad_token_id+1
             mask = (input_ids != c.pad_token_id).astype(jnp.int32)
             position_ids = jnp.cumsum(mask, axis=1) * mask + c.pad_token_id
+            pos_emb = pos(position_ids)
         else:
-            position_ids = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
-        h = word(input_ids) + pos(position_ids)
+            # arange positions are row-constant: gather T rows once and let
+            # the add broadcast. Value-identical forward; the backward becomes
+            # a sum over B instead of a (B*T)-row duplicate-heavy scatter
+            # (part of the measured 9.1 ms scatter floor, PARITY.md sgemb row)
+            pos_emb = pos(jnp.arange(T, dtype=jnp.int32))[None]
+        h = word(input_ids) + pos_emb
         if tok is not None:
-            h = h + tok(jnp.zeros_like(input_ids))
+            # reference always passes token_type_ids=0 (single segment):
+            # one row broadcast, backward is one reduce
+            h = h + tok(jnp.zeros((1,), jnp.int32))[:, None, :]
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="embeddings_ln")(h)
         h = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(h)
         if _os.environ.get("IDVS_SG_EMB"):

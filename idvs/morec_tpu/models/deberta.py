@@ -209,12 +209,16 @@ class DebertaModel(nn.Module):
     def __call__(self, input_ids, attention_mask, deterministic=True):
         c = self.cfg
         B, T = input_ids.shape
-        h = nn.Embed(c.vocab_size, c.hidden_size,
-                     name="word_embeddings")(input_ids)
+        from .bert import pick_embed
+        WordEmbed = pick_embed(c.vocab_size, c.hidden_size)
+        h = WordEmbed(c.vocab_size, c.hidden_size,
+                      name="word_embeddings")(input_ids)
         if c.type_vocab_size:
+            # reference passes token_type_ids=0 (single segment): one row
+            # broadcast; backward is a reduce instead of a (B*T)-row scatter
             h = h + nn.Embed(c.type_vocab_size, c.hidden_size,
                              name="token_type_embeddings")(
-                jnp.zeros_like(input_ids))
+                jnp.zeros((1,), jnp.int32))[:, None, :]
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="embeddings_ln")(h)
         mask = attention_mask.astype(h.dtype)
         h = h * mask[:, :, None]            # DebertaEmbeddings zeroes pads

@@ -111,7 +111,12 @@ class OPTModel(nn.Module):
     def __call__(self, input_ids, attention_mask, deterministic: bool = True):
         c = self.cfg
         B, T = input_ids.shape
-        word = nn.Embed(c.vocab_size, c.hidden_size, name="embed_tokens")
+        from .bert import pick_embed
+        WordEmbed = pick_embed(c.vocab_size, c.hidden_size)
+        word = WordEmbed(c.vocab_size, c.hidden_size, name="embed_tokens")
+        # OPT positions are data-dependent (cumsum of the mask) — no
+        # broadcast reformulation; the table is small so the XLA scatter
+        # backward stays
         pos = nn.Embed(c.max_position_embeddings + c.position_offset,
                        c.hidden_size, name="embed_positions")
         mask = attention_mask.astype(jnp.int32)

@@ -118,6 +118,12 @@ class RecModel(nn.Module):
             modal = nn.gelu(self.modal_proj(content), approximate=False)
             if self.dnn_layers > 0:
                 modal = self.modal_mlp(modal, deterministic)
+        elif content is not None and content.ndim == 4:
+            # vision images: thread the pad-item mask so the tower can
+            # reproduce the reference's normalized-zero pad image exactly
+            # even from the uint8 host pipeline (VisionTower.pad_mask)
+            modal = self.encoder(content, deterministic=deterministic,
+                                 pad_mask=(item_ids == 0))
         else:
             modal = self.encoder(content, deterministic=deterministic)
 

@@ -45,11 +45,19 @@ class VisionTower(nn.Module):
     compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, images, deterministic: bool = True):
+    def __call__(self, images, deterministic: bool = True, pad_mask=None):
         if jnp.issubdtype(images.dtype, jnp.integer):
             # uint8 host pipeline: normalize on device (ToTensor + Normalize
             # (.5,.5,.5) parity, reference dataset.py:68-73) — 4x less H2D
             images = (images.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        if pad_mask is not None:
+            # id 0 = the pad item: the reference datasets inject a ZERO image
+            # in NORMALIZED space for it (inbatch_sasrec_e2e_vision/
+            # data_utils/dataset.py:145,164-165 padding_emb), which uint8
+            # content cannot represent (u8 zeros normalize to -1.0) — zero
+            # those slots exactly before the encoder sees them
+            images = jnp.where(pad_mask[:, None, None, None],
+                               jnp.zeros((), images.dtype), images)
         if self.compute_dtype is not None:
             images = images.astype(self.compute_dtype)
         if self.kind == "resnet":

@@ -55,8 +55,16 @@ def default_encoder_predicate(keys: tuple) -> bool:
     """The reference splits on 'bert_model' in the param name (run.py:153-158):
     ONLY the pretrained LM/CV net itself is in the fine-tune group; the
     projection fc over it counts as recsys. Our modal towers nest the
-    pretrained net under <'encoder', ..., 'net'>."""
-    return "encoder" in keys and "net" in keys
+    pretrained net under <'encoder', ..., 'net'>.
+
+    The vision variants additionally route the REPLACED heads to the recsys
+    group even though they live inside image_net (inbatch_sasrec_e2e_vision/
+    run.py:125-129: `'fc' in name or 'classifier' in name -> recsys_params`)
+    — our ResNet keeps the replaced fc inside 'net' (resnet.py out_dim), so
+    exclude those exact module names here. (Swin/MAE replaced heads already
+    live outside 'net'; HF-internal FFN denses are 'fc1'/'fc2', not 'fc'.)"""
+    return ("encoder" in keys and "net" in keys
+            and "fc" not in keys and "classifier" not in keys)
 
 
 def make_optimizer(cfg, labels=None) -> optax.GradientTransformation:

@@ -100,7 +100,10 @@ def read_image_manifest(images_path: str) -> Tuple[dict, dict, dict]:
             name = fields[0]
             id_of[name] = next_id
             name_of[next_id] = name
-            key_of[next_id] = str(name[1:]).encode("ascii")
+            # int round-trip like the reference ('v007' -> b'7', not b'007'):
+            # preprocess.py:99 int(name.replace('v', '')) — store keys must
+            # match a reference-built LMDB byte for byte
+            key_of[next_id] = str(int(name.replace("v", ""))).encode("ascii")
             next_id += 1
     return key_of, id_of, name_of
 

@@ -59,7 +59,9 @@ BASELINE_SPS = {
 # vs_baseline stays computed against the original constants for continuity;
 # vs_ceiling reports attainment of the measured hardware bound.
 CEILING_SPS = {
-    "text_morec_uniform": 1500.0,   # elementwise HBM + vocab scatter floor
+    "text_morec_uniform": 1560.0,   # elementwise HBM floor (r3 amendment:
+                                    # embedding backward restructured,
+                                    # BASELINE.md arithmetic)
     "idrec": 40_000.0,              # dense-AdamW table pass + quadratic CE
     "vision_morec": 95.0,           # dh=32 MXU K-fill + window tile padding
 }

@@ -48,6 +48,11 @@ class Config:
     min_seq_len: int = 5
     cold_behaviors: str = ""   # cold-start eval TSV ('' = off), test mode
     new_behaviors: str = ""    # new-item eval TSV ('' = off), test mode
+    new_items: str = ""        # UNSEEN items' own manifest TSV ('' = the
+                               # main catalog file carries them; reference
+                               # vision reads new items from a separate file,
+                               # inbatch_sasrec_e2e_vision/data_utils/
+                               # special.py:73-80 + parameters.py:18)
     new_image_store: str = ""  # separate store for unseen items' images
                                # (reference keeps new-item images in their own
                                # LMDB, inbatch_sasrec_e2e_vision/special.py)
@@ -78,6 +83,18 @@ class Config:
     num_attention_heads: int = 2
     transformer_block: int = 2
     dnn_layers: int = 0             # DSSM MLP depth / two-stage MLP depth
+                                    # (id_plus_mo-2stage: POST-fusion MLP depth,
+                                    # bce_text/id_plus_mo-2stage/model/model.py:38-40)
+    mo_dnn_layers: int = 0          # id_plus_mo-2stage: depth of the FC stack
+                                    # applied to the cached content BEFORE
+                                    # fusion (reference FC_Layers 'turn_dim',
+                                    # bce_text/id_plus_mo-2stage/model/model.py:25-27,
+                                    # parameters.py:25)
+    cat_layers: int = 1             # CAT fusion MLP depth; the reference
+                                    # item_tower value 'modal_cat_3' selects 3
+                                    # (bce_text/id_plus_mo-end2end/model/
+                                    # model.py:28-34) and maps here to
+                                    # item_tower=modal_id_cat + cat_layers=3
     pretrained_models_dir: str = "pretrained_models"
     text_pooling: str = ""          # '' = reference default (cls for BERT,
                                     # mean for OPT); 'cls'|'mean' to override
@@ -213,6 +230,39 @@ class Config:
                             "cpt_" + self.log_paras(world_size))
 
 
+# Reference flag name -> Config field. A verbatim reference command line
+# (any of the 12 <variant>/parameters.py flag sets) parses unchanged:
+# --images/--lmdb_data (inbatch_sasrec_e2e_vision/parameters.py:13-14),
+# --CV_resize/--CV_model_load (ibid:20-21), --dnn_layer singular
+# (bce_text/main-2stage(SASRec)/parameters.py:21), and the special-eval
+# sextet (--cold_file/--new_file text, parameters.py:15-16;
+# --cold_seqs/--new_seqs/--new_items/--new_lmdb_data vision,
+# inbatch_sasrec_e2e_vision/parameters.py:16-19).
+REF_FLAG_ALIASES = {
+    "images": "news",
+    "lmdb_data": "image_store",
+    "CV_resize": "image_resize",
+    "CV_model_load": "cv_model_load",
+    "dnn_layer": "dnn_layers",
+    "cold_file": "cold_behaviors",
+    "cold_seqs": "cold_behaviors",
+    "new_file": "new_behaviors",
+    "new_seqs": "new_behaviors",
+    "new_lmdb_data": "new_image_store",
+}
+
+# Reference flag VALUES with a different spelling here:
+# - item_tower 'modal_add'/'modal_cat' (id_plus_mo variants' launchers,
+#   e.g. bce_text/id_plus_mo-2stage/train_bert_add.py:16) name the same
+#   towers our config calls modal_id_add/modal_id_cat
+# - the special-eval files use 'None' = off (parameters.py defaults);
+#   our config uses '' = off
+_ITEM_TOWER_VALUES = {"modal_add": "modal_id_add", "modal_cat": "modal_id_cat",
+                      "modal_cat_3": "modal_id_cat"}
+_NONE_IS_OFF = ("cold_behaviors", "new_behaviors", "new_items",
+                "new_image_store")
+
+
 def _add_flags(parser: argparse.ArgumentParser) -> None:
     """The union of all 12 reference parameters.py flag sets, same names."""
     fields = {f.name: f for f in dataclasses.fields(Config)}
@@ -225,14 +275,34 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
             parser.add_argument(f"--{name}", type=str2bool, default=f.default)
         elif t in (int, float, str):
             parser.add_argument(f"--{name}", type=t, default=f.default)
+    for alias, dest in REF_FLAG_ALIASES.items():
+        f = fields[dest]
+        field_type = f.type if isinstance(f.type, type) else type(f.default)
+        parser.add_argument(f"--{alias}", dest=dest, type=field_type,
+                            default=argparse.SUPPRESS)
     # accepted for reference-CLI compatibility; ignored (JAX has no local_rank)
     parser.add_argument("--local_rank", type=int, default=-1)
 
 
-def parse_args(argv: Optional[List[str]] = None) -> Config:
+def parse_args(argv: Optional[List[str]] = None,
+               base: Optional[dict] = None) -> Config:
+    """argv: reference-compatible flag list. base: variant-axis defaults
+    (loss/user_tower/item_tower/stage/modality) — the reference encodes
+    these in the directory path, so a verbatim reference command line is
+    parsed as parse_args(ref_argv, base=axes_for(variant_dir))."""
     parser = argparse.ArgumentParser()
     _add_flags(parser)
+    if base:
+        parser.set_defaults(**base)
     ns = parser.parse_args(argv)
     d = vars(ns)
     d.pop("local_rank", None)
+    if d["item_tower"] == "modal_cat_3":
+        # 'cat_3' selects a 3-layer CAT MLP in the end2end fusion variants
+        # (bce_text/id_plus_mo-end2end/model/model.py:28-34)
+        d["cat_layers"] = 3
+    d["item_tower"] = _ITEM_TOWER_VALUES.get(d["item_tower"], d["item_tower"])
+    for k in _NONE_IS_OFF:
+        if d.get(k) == "None":
+            d[k] = ""
     return Config(**d)

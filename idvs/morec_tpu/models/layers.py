@@ -154,12 +154,17 @@ class AddFusion(nn.Module):
 
 
 class CatFusion(nn.Module):
-    """concat -> GELU MLP fusion (reference id_plus_mo-end2end/model/encoders.py:17-39)."""
+    """concat -> GELU MLP fusion (reference id_plus_mo-end2end/model/encoders.py:17-39).
+
+    n_layers: depth of the post-concat MLP — 1 for item_tower 'modal_cat',
+    3 for 'modal_cat_3' (reference bce_text/id_plus_mo-end2end/
+    model/model.py:28-34: layers=[2D] + [D]*dnn_layer)."""
     embedding_dim: int
     drop_rate: float
+    n_layers: int = 1
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
         cat = jnp.concatenate([x, y], axis=-1)
-        return MLPLayers([2 * self.embedding_dim, self.embedding_dim],
-                         self.drop_rate, name="mlp")(cat, deterministic)
+        dims = [2 * self.embedding_dim] + [self.embedding_dim] * self.n_layers
+        return MLPLayers(dims, self.drop_rate, name="mlp")(cat, deterministic)

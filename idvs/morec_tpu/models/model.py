@@ -22,7 +22,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .dssm import MLPEncoder
-from .layers import CatFusion, MLPLayers, xavier_normal, zeros_init
+from .layers import (AddFusion, CatFusion, FCLayers, MLPLayers, xavier_normal,
+                     zeros_init)
 from .sasrec import SASRecEncoder
 
 
@@ -47,6 +48,8 @@ class RecModel(nn.Module):
     transformer_block: int = 2
     max_seq_len: int = 20
     dnn_layers: int = 0
+    mo_dnn_layers: int = 0           # id_plus_mo-2stage: pre-fusion FC depth
+    cat_layers: int = 1              # CAT fusion MLP depth (3 = 'modal_cat_3')
     drop_rate: float = 0.1
     # injected modality encoder: content -> (N, embedding_dim) for end2end
     # (text: token rows; vision: images). None for id / two_stage towers.
@@ -82,8 +85,24 @@ class RecModel(nn.Module):
                 # (bce_text/main-end2end(DSSM)/model/model.py:25-29)
                 self.id_encoder = MLPEncoder(self.embedding_dim, self.dnn_layers,
                                              self.drop_rate, name="id_encoder")
+        fused_two_stage = (self.stage == "two_stage"
+                           and self.item_tower in ("modal_id_add",
+                                                   "modal_id_cat"))
         if use_modal:
-            if self.stage == "two_stage":
+            if fused_two_stage:
+                # id_plus_mo-2stage: a mo_dnn_layers-deep FC stack turns the
+                # cached content to embedding_dim BEFORE fusion, and a
+                # dnn_layers-deep MLP runs on the FUSED vector
+                # (bce_text/id_plus_mo-2stage/model/model.py:25-27,38-40,
+                # vision twin bce_vision/id_plus_mo-2stage/model/model.py:25-41)
+                self.turn_dim = FCLayers(
+                    self.word_embedding_dim, self.embedding_dim,
+                    self.mo_dnn_layers, self.drop_rate, name="turn_dim")
+                if self.dnn_layers > 0:
+                    self.post_mlp = MLPLayers(
+                        [self.embedding_dim] * (self.dnn_layers + 1),
+                        self.drop_rate, name="post_mlp")
+            elif self.stage == "two_stage":
                 # frozen-encoder cached embeddings -> FC + MLP trainable head
                 # (bce_text/main-2stage(SASRec)/model/encoders.py:7-31)
                 self.modal_proj = nn.Dense(self.embedding_dim,
@@ -97,8 +116,16 @@ class RecModel(nn.Module):
                 assert self.encoder is not None, "end2end modal tower needs an encoder"
 
         # ---- fusion ----
-        if self.item_tower == "modal_id_cat":
-            self.fusion = CatFusion(self.embedding_dim, self.drop_rate, name="fusion")
+        if self.item_tower == "modal_id_add":
+            self.fusion = AddFusion(name="fusion")
+        elif self.item_tower == "modal_id_cat":
+            # the 2-stage CAT is always single-layer (bce_text/
+            # id_plus_mo-2stage/model/model.py:31-34 has no cat_3 branch);
+            # end2end honors cat_layers ('modal_cat_3',
+            # bce_text/id_plus_mo-end2end/model/model.py:28-34)
+            n = 1 if fused_two_stage else self.cat_layers
+            self.fusion = CatFusion(self.embedding_dim, self.drop_rate,
+                                    n_layers=n, name="fusion")
 
     # ------------------------------------------------------------------ item
     def item_embs(self, item_ids, content=None, deterministic: bool = True):
@@ -114,6 +141,16 @@ class RecModel(nn.Module):
                 emb = self.id_encoder(emb, deterministic)
             return emb
 
+        if (self.stage == "two_stage"
+                and self.item_tower in ("modal_id_add", "modal_id_cat")):
+            # id_plus_mo-2stage: mlp_layers(fusion(id, turn_dim(content)))
+            # (bce_text/id_plus_mo-2stage/model/model.py:49-51)
+            modal = self.turn_dim(content, deterministic)
+            fused = self.fusion(self.id_embedding(item_ids), modal,
+                                deterministic)
+            if self.dnn_layers > 0:
+                fused = self.post_mlp(fused, deterministic)
+            return fused
         if self.stage == "two_stage":
             modal = nn.gelu(self.modal_proj(content), approximate=False)
             if self.dnn_layers > 0:
@@ -127,10 +164,9 @@ class RecModel(nn.Module):
         else:
             modal = self.encoder(content, deterministic=deterministic)
 
-        if self.item_tower == "modal_id_add":
-            return self.id_embedding(item_ids) + modal
-        if self.item_tower == "modal_id_cat":
-            return self.fusion(self.id_embedding(item_ids), modal, deterministic)
+        if self.item_tower in ("modal_id_add", "modal_id_cat"):
+            return self.fusion(self.id_embedding(item_ids), modal,
+                               deterministic)
         return modal
 
     # ------------------------------------------------------------------ user
@@ -172,6 +208,8 @@ def make_model(cfg, item_num: int, user_num: int = 0,
         transformer_block=cfg.transformer_block,
         max_seq_len=cfg.max_seq_len,
         dnn_layers=cfg.dnn_layers,
+        mo_dnn_layers=cfg.mo_dnn_layers,
+        cat_layers=getattr(cfg, "cat_layers", 1),
         drop_rate=cfg.drop_rate,
         encoder=encoder,
     )

@@ -71,7 +71,15 @@ def epoch_from_name(ckpt_name: str) -> int:
 
 def get_checkpoint(directory: str, ckpt_name: str) -> Optional[str]:
     path = os.path.join(directory, ckpt_name)
-    return path if os.path.exists(path) else None
+    if os.path.exists(path):
+        return path
+    # reference command lines name checkpoints 'epoch-N.pt'
+    # (test_*.py launchers); our files are the msgpack 'epoch-N.ckpt' twin
+    if ckpt_name.endswith(".pt"):
+        alt = os.path.join(directory, ckpt_name[:-3] + ".ckpt")
+        if os.path.exists(alt):
+            return alt
+    return None
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:

@@ -601,16 +601,21 @@ class Trainer:
         base = os.path.join(cfg.root_data_dir, cfg.dataset)
         from .special_eval import (eval_cold, eval_new,
                                    read_behaviors_special)
-        # 'before' item catalogs (new items may be absent from training)
+        # 'before' item catalogs (new items may be absent from training).
+        # --new_items points the UNSEEN items at their own manifest file
+        # (reference vision special.py:73-80, parameters.py:18); without it
+        # the main catalog file carries them (text reference semantics).
+        items_file = cfg.new_items or cfg.news
         if cfg.use_modal and cfg.modality == "text" and cfg.stage == "end2end":
             from ..models.encoders_zoo import load_tokenizer
             dic, before_n2i, _ = read_items_tokenized(
-                os.path.join(base, cfg.news), cfg, load_tokenizer(cfg))
+                os.path.join(base, items_file), cfg, load_tokenizer(cfg))
         elif cfg.use_modal and cfg.modality == "vision":
             from ..data.preprocess import read_image_manifest
-            dic, before_n2i, _ = read_image_manifest(os.path.join(base, cfg.news))
+            dic, before_n2i, _ = read_image_manifest(
+                os.path.join(base, items_file))
         else:
-            dic, before_n2i, _ = read_items_text(os.path.join(base, cfg.news))
+            dic, before_n2i, _ = read_items_text(os.path.join(base, items_file))
 
         new_path = (os.path.join(base, cfg.new_behaviors)
                     if cfg.new_behaviors else None)

@@ -138,7 +138,8 @@ def test_two_stage_bce_parity():
         t2n(tm.fc.fc.weight).T, rtol=2e-3, atol=2e-4)
 
 
-def _id_plus_mo_case(item_tower_ref: str, item_tower_ours: str, seed: int):
+def _id_plus_mo_case(item_tower_ref: str, item_tower_ours: str, seed: int,
+                     cat_layers: int = 1):
     from transformers import BertConfig as HFBertConfig, BertModel as HFBertModel
 
     from idvs.morec_tpu.models.bert import BertConfig, BertModel
@@ -172,10 +173,12 @@ def _id_plus_mo_case(item_tower_ref: str, item_tower_ours: str, seed: int):
     snap_fc = {"kernel": t2n(fc.weight).T, "bias": t2n(fc.bias)}
     snap_id = t2n(tm.id_embedding.weight)
     snap_fusion = None
-    if item_tower_ref == "modal_cat":
+    if "cat" in item_tower_ref:
         lin = [m for m in tm.fc.mlp_layers if isinstance(m, torch.nn.Linear)]
-        snap_fusion = {"mlp": {"Dense_0": {"kernel": t2n(lin[0].weight).T,
-                                           "bias": t2n(lin[0].bias)}}}
+        assert len(lin) == cat_layers
+        snap_fusion = {"mlp": {f"Dense_{i}": {"kernel": t2n(m.weight).T,
+                                              "bias": t2n(m.bias)}
+                               for i, m in enumerate(lin)}}
 
     flat = _interleave(ids, neg)
     t_ids = torch.LongTensor(flat)
@@ -200,7 +203,8 @@ def _id_plus_mo_case(item_tower_ref: str, item_tower_ours: str, seed: int):
                  num_attention_heads=HEADS, transformer_block=BLOCKS,
                  num_words_title=T, drop_rate=0.0, lr=1e-3, l2_weight=0.01,
                  fine_tune_lr=5e-4, fine_tune_l2_weight=0.01,
-                 word_embedding_dim=24, compute_dtype="float32")
+                 word_embedding_dim=24, cat_layers=cat_layers,
+                 compute_dtype="float32")
     model = make_model(cfg, item_num=ITEM_NUM, encoder=encoder)
     content_j = jnp.asarray(item_content.astype(np.int32))
     params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
@@ -236,3 +240,186 @@ def test_id_plus_mo_add_parity():
 
 def test_id_plus_mo_cat_parity():
     _id_plus_mo_case("modal_cat", "modal_id_cat", 71)
+
+
+def test_id_plus_mo_cat3_parity():
+    # the 'modal_cat_3' item_tower value: 3-layer CAT MLP
+    # (bce_text/id_plus_mo-end2end/model/model.py:28-34)
+    _id_plus_mo_case("modal_cat_3", "modal_id_cat", 77, cat_layers=3)
+
+
+def test_two_stage_vision_bce_parity():
+    """bce_vision/main-2stage(SASRec)'s OWN Model executed: MLP_Layers =
+    GELU(fc(cache)) -> [dropout,Linear,GELU]^dnn_layer over the cached image
+    features (model/model.py:13-31, encoders.py:7-32), single-group AdamW
+    (run.py:115)."""
+    RefModel = load_ref_model_class("bce_vision/main-2stage(SASRec)",
+                                    "twostage_vis")
+    rng = np.random.default_rng(57)
+    ids, neg, lm = _bce_batch(rng)
+    WD = 24
+    cache = rng.normal(size=(ITEM_NUM + 1, WD)).astype(np.float32)
+    cache[0] = 0.0
+
+    # this variant spells the flag dnn_layer (singular, parameters.py)
+    args = ref_args(L=L, D=D, HEADS=HEADS, BLOCKS=BLOCKS, dnn_layer=1)
+    torch.manual_seed(58)
+    tm = RefModel(args, ITEM_NUM, WD).to(CPU)
+    tm.train()
+    snap_ue = sasrec_params_from_torch(tm.user_encoder)
+    lin = [m for m in tm.fc.mlp_layers if isinstance(m, torch.nn.Linear)]
+    snap_proj = {"kernel": t2n(tm.fc.fc.weight).T, "bias": t2n(tm.fc.fc.bias)}
+    snap_mlp = {"Dense_0": {"kernel": t2n(lin[0].weight).T,
+                            "bias": t2n(lin[0].bias)}}
+
+    flat = _interleave(ids, neg)
+    t_items = torch.FloatTensor(cache[flat])
+    t_lm = torch.FloatTensor(lm)
+    opt = torch.optim.AdamW(tm.parameters(), lr=1e-3, weight_decay=0.01)
+    t_losses = _run_torch(tm, opt, lambda: tm(t_items, t_lm, CPU))
+
+    cfg = Config(item_tower="modal", stage="two_stage", modality="vision",
+                 loss="bce", max_seq_len=L, embedding_dim=D, batch_size=B,
+                 num_attention_heads=HEADS, transformer_block=BLOCKS,
+                 dnn_layers=1, word_embedding_dim=WD, drop_rate=0.0,
+                 lr=1e-3, l2_weight=0.01, compute_dtype="float32")
+    model = make_model(cfg, item_num=ITEM_NUM)
+    content_j = jnp.asarray(cache)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        content_j[jnp.asarray(ids).reshape(-1)],
+                        jnp.asarray(lm))
+    params["params"]["user_encoder"] = jax.tree.map(jnp.asarray, snap_ue)
+    params["params"]["modal_proj"] = jax.tree.map(jnp.asarray, snap_proj)
+    params["params"]["modal_mlp"] = jax.tree.map(jnp.asarray, snap_mlp)
+    tx = make_optimizer(cfg)
+    j_losses, j_params = _run_ours(
+        cfg, model, params, tx,
+        {"ids": jnp.asarray(ids), "neg_ids": jnp.asarray(neg),
+         "log_mask": jnp.asarray(lm)}, content_j)
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(j_params["modal_proj"]["kernel"]),
+        t2n(tm.fc.fc.weight).T, rtol=2e-3, atol=2e-4)
+
+
+# --------------------------------------------------------- id_plus_mo-2stage
+def _mlp_dense_snap(mlp_layers_module):
+    """reference MLP_Layers.mlp_layers Sequential -> our MLPLayers subtree."""
+    lin = [m for m in mlp_layers_module if isinstance(m, torch.nn.Linear)]
+    return {f"Dense_{i}": {"kernel": t2n(m.weight).T, "bias": t2n(m.bias)}
+            for i, m in enumerate(lin)}
+
+
+def _id_plus_mo_two_stage_case(variant_rel: str, item_tower_ref: str,
+                               item_tower_ours: str, seed: int,
+                               mo_dnn: int, dnn: int):
+    """Executed parity for the reference's TRUE id_plus_mo-2stage composition:
+    mlp_layers(fusion(id_emb, FC_Layers(content; depth=mo_dnn_layers));
+    depth=dnn_layers) — the mo_dnn_layers FC stack runs on the CACHED content
+    BEFORE fusion and the dnn_layers MLP on the FUSED vector
+    (bce_text/id_plus_mo-2stage/model/model.py:25-27,38-40,49-51; vision twin
+    bce_vision/id_plus_mo-2stage/model/model.py:25-41,50-52). Single-group
+    AdamW (bce_text/id_plus_mo-2stage/run.py:151, vision run.py:132).
+    """
+    tag = f"idmo2s_{item_tower_ours}_{variant_rel.split('/')[0]}_{mo_dnn}_{dnn}"
+    RefModel = load_ref_model_class(variant_rel, tag)
+    rng = np.random.default_rng(seed)
+    ids, neg, lm = _bce_batch(rng)
+    WD = 24
+    cache = rng.normal(size=(ITEM_NUM + 1, WD)).astype(np.float32)
+    cache[0] = 0.0
+
+    args = ref_args(L=L, D=D, HEADS=HEADS, BLOCKS=BLOCKS,
+                    word_embedding_dim=WD, item_tower=item_tower_ref,
+                    dnn_layers=dnn, mo_dnn_layers=mo_dnn)
+    torch.manual_seed(seed + 1)
+    if variant_rel.startswith("bce_vision"):
+        # vision signature: Model(args, item_num, num_fc_ftr, use_modal)
+        tm = RefModel(args, ITEM_NUM, WD, True).to(CPU)
+    else:
+        # text signature: Model(args, item_num, use_modal, bert_model) —
+        # bert_model is unused (content arrives cached)
+        tm = RefModel(args, ITEM_NUM, True, None).to(CPU)
+    tm.train()
+    snap_ue = sasrec_params_from_torch(tm.user_encoder)
+    snap_id = t2n(tm.id_embedding.weight)
+    snap_turn = {"fc": {"kernel": t2n(tm.turn_dim.fc.weight).T,
+                        "bias": t2n(tm.turn_dim.fc.bias)}}
+    if mo_dnn > 0:
+        snap_turn["mlp"] = _mlp_dense_snap(tm.turn_dim.mlp_layers.mlp_layers)
+    snap_fusion = None
+    if item_tower_ref == "modal_cat":
+        snap_fusion = {"mlp": _mlp_dense_snap(tm.fc.mlp_layers)}
+    snap_post = None
+    if dnn > 0:
+        snap_post = _mlp_dense_snap(tm.mlp_layers.mlp_layers)
+
+    flat = _interleave(ids, neg)
+    t_ids = torch.LongTensor(flat)
+    t_content = torch.FloatTensor(cache[flat])
+    t_lm = torch.FloatTensor(lm)
+    opt = torch.optim.AdamW(tm.parameters(), lr=1e-3, weight_decay=0.01)
+    t_losses = _run_torch(tm, opt, lambda: tm(t_ids, t_content, t_lm, CPU))
+
+    cfg = Config(item_tower=item_tower_ours, stage="two_stage",
+                 modality=("vision" if variant_rel.startswith("bce_vision")
+                           else "text"),
+                 loss="bce", max_seq_len=L, embedding_dim=D, batch_size=B,
+                 num_attention_heads=HEADS, transformer_block=BLOCKS,
+                 dnn_layers=dnn, mo_dnn_layers=mo_dnn, word_embedding_dim=WD,
+                 drop_rate=0.0, lr=1e-3, l2_weight=0.01,
+                 compute_dtype="float32")
+    model = make_model(cfg, item_num=ITEM_NUM)
+    content_j = jnp.asarray(cache)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        content_j[jnp.asarray(ids).reshape(-1)],
+                        jnp.asarray(lm))
+    params["params"]["user_encoder"] = jax.tree.map(jnp.asarray, snap_ue)
+    params["params"]["id_embedding"]["embedding"] = jnp.asarray(snap_id)
+    params["params"]["turn_dim"] = jax.tree.map(jnp.asarray, snap_turn)
+    if snap_fusion is not None:
+        params["params"]["fusion"] = jax.tree.map(jnp.asarray, snap_fusion)
+    if snap_post is not None:
+        params["params"]["post_mlp"] = jax.tree.map(jnp.asarray, snap_post)
+    tx = make_optimizer(cfg)   # single group (run.py:151)
+    j_losses, j_params = _run_ours(
+        cfg, model, params, tx,
+        {"ids": jnp.asarray(ids), "neg_ids": jnp.asarray(neg),
+         "log_mask": jnp.asarray(lm)}, content_j)
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-4, atol=5e-4)
+    # both trainable stacks moved in lockstep with torch
+    np.testing.assert_allclose(
+        np.asarray(j_params["turn_dim"]["fc"]["kernel"]),
+        t2n(tm.turn_dim.fc.weight).T, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(j_params["id_embedding"]["embedding"]),
+        t2n(tm.id_embedding.weight), rtol=2e-3, atol=2e-4)
+    if dnn > 0:
+        lin0 = [m for m in tm.mlp_layers.mlp_layers
+                if isinstance(m, torch.nn.Linear)][0]
+        np.testing.assert_allclose(
+            np.asarray(j_params["post_mlp"]["Dense_0"]["kernel"]),
+            t2n(lin0.weight).T, rtol=2e-3, atol=2e-4)
+
+
+def test_id_plus_mo_two_stage_add_parity():
+    _id_plus_mo_two_stage_case("bce_text/id_plus_mo-2stage",
+                               "modal_add", "modal_id_add", 81,
+                               mo_dnn=2, dnn=2)
+
+
+def test_id_plus_mo_two_stage_cat_parity():
+    _id_plus_mo_two_stage_case("bce_text/id_plus_mo-2stage",
+                               "modal_cat", "modal_id_cat", 91,
+                               mo_dnn=2, dnn=2)
+
+
+def test_id_plus_mo_two_stage_vision_parity():
+    # the vision twin at the reference test grid's degenerate dnn=0 point
+    # (test_swin_tiny_add.py:30-31: mo 8 / dnn 0) — post-fusion MLP_Layers
+    # is identity there, the FC stack is not
+    _id_plus_mo_two_stage_case("bce_vision/id_plus_mo-2stage",
+                               "modal_add", "modal_id_add", 101,
+                               mo_dnn=2, dnn=0)

@@ -30,15 +30,26 @@ def test_shim_flags_build_valid_config(path):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)  # does not run grid_launch (main-guarded)
     base, grid = mod.base, mod.grid
-    # first grid point -> Config must construct (axis/flag validation)
+    zipped = getattr(mod, "zipped", {})
+    # first grid point, through the SAME CLI path grid_launch/the runner use
+    # (parse_args resolves the reference flag spellings and value aliases)
     flags = dict(base)
     flags.update({k: v[0] for k, v in grid.items()})
+    flags.update({k: v[0] for k, v in zipped.items()})
     flags.pop("label_screen", None)
-    cfg = Config(**{k: v for k, v in flags.items()
-                    if k in {f.name for f in Config.__dataclass_fields__.values()}})
+    argv = []
+    for k, v in flags.items():
+        argv += [f"--{k}", str(v)]
+    from idvs.morec_tpu.config import parse_args
+    cfg = parse_args(argv)
     assert cfg.loss in ("inbatch_ce", "bce")
     if "test_" in os.path.basename(path):
         assert cfg.mode == "test" and "epoch-" in cfg.load_ckpt_name
+    # the id_plus_mo-2stage grids must carry the reference's mo_dnn_layers
+    # axis (VERDICT r3: the shims silently dropped it)
+    if "id_plus_mo-2stage" in path and "train_" in os.path.basename(path):
+        assert "mo_dnn_layers" in grid and "dnn_layers" in grid
+        assert grid["dnn_layers"] == [2, 4, 6, 0]
 
 
 def test_early_stop_gap_auto_per_modality():

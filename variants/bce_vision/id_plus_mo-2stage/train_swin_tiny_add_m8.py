@@ -1,7 +1,9 @@
-"""Reference-compatible grid launcher: bce_vision/id_plus_mo-2stage/test_swin_tiny_cat.py.
+"""Reference-compatible grid launcher: bce_vision/id_plus_mo-2stage/train_swin_tiny_add_m8.py.
 
-Checkpoint zipped with its (mo_dnn_layers, dnn_layers) by index
-(test_swin_tiny_cat.py:19,30-31: 'epoch-67.pt' with mo 0 / dnn 6).
+Same grid values as the reference (train_swin_tiny_add_m8.py:23-31: l2 0.01,
+drop 0.1, bs 64, lr_ct (1e-4, 0), ed 512, mo_dnn_layers [8],
+dnn_layers [2, 4, 6, 0]); reference flag spellings (--images/--lmdb_data/
+--CV_resize/--CV_model_load) pass through config.REF_FLAG_ALIASES.
 """
 from idvs.morec_tpu.launcher import grid_launch
 
@@ -19,11 +21,12 @@ base = dict(
     testing_num=1,
     CV_resize=224,
     CV_model_load='swin_tiny',
-    mode='test',
-    item_tower='modal_cat',
+    load_ckpt_name='None',
+    mode='train',
+    item_tower='modal_add',
     epoch=150,
     freeze_paras_before=0,
-    fine_tune_lr=0,
+    fine_tune_lr=0,           # lr_list_ct = [(1e-4, 0)]
 )
 
 grid = dict(
@@ -32,13 +35,9 @@ grid = dict(
     batch_size=[64],
     lr=[0.0001],
     embedding_dim=[512],
-)
-
-zipped = dict(
-    load_ckpt_name=['epoch-67.pt'],
-    mo_dnn_layers=[0],
-    dnn_layers=[6],
+    mo_dnn_layers=[8],
+    dnn_layers=[2, 4, 6, 0],
 )
 
 if __name__ == "__main__":
-    grid_launch(base, grid, zipped=zipped)
+    grid_launch(base, grid)

@@ -167,12 +167,41 @@ class BertLayer(nn.Module):
         c = self.cfg
         attn_out = BertSelfAttention(c, name="attention_self")(
             hidden, attention_mask, deterministic)
-        attn_out = _fence(nn.Dense(c.hidden_size,
-                                   name="attention_output")(attn_out))
-        attn_out = nn.Dropout(c.hidden_dropout_prob,
-                              deterministic=deterministic)(attn_out)
-        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
-                              name="attention_ln")(_fence(hidden + attn_out))
+        # Post-attention sub-block: projection + dropout + residual + LN.
+        # On TPU the whole tail runs as one kernel (fused_proj_resln) —
+        # same epilogue rationale as the FFN tail below. Params identical
+        # to nn.Dense(attention_output) + nn.LayerNorm(attention_ln).
+        from .layers import LNParams, layer_norm
+        kp, bp = ProjParams(c.hidden_size, c.hidden_size,
+                            name="attention_output")()
+        gm1, bt1 = LNParams(c.hidden_size, name="attention_ln")()
+        use_fmlp_gate = c.fused_ffn
+        if use_fmlp_gate is None:
+            use_fmlp_gate = (jax.default_backend() == "tpu"
+                             and not _os.environ.get("IDVS_NO_FMLP"))
+        use_fmlp_gate = (use_fmlp_gate
+                         and not _os.environ.get("IDVS_NO_FMLP_POST"))
+        hidden_new = None
+        if use_fmlp_gate:
+            from ..ops.pallas.mlp import fused_proj_resln
+            p_drop = 0.0 if deterministic else c.hidden_dropout_prob
+            seed = None
+            if p_drop > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (1,),
+                                          0, 2 ** 31 - 1, jnp.int32)
+            hidden_new = fused_proj_resln(
+                attn_out, hidden, kp.astype(attn_out.dtype),
+                bp.astype(attn_out.dtype), ln2=(gm1, bt1),
+                eps2=c.layer_norm_eps, drop_rate=p_drop, seed=seed,
+                interpret=jax.default_backend() != "tpu")
+        if hidden_new is None:
+            attn_out = _fence(jnp.dot(attn_out, kp.astype(attn_out.dtype))
+                              + bp.astype(attn_out.dtype))
+            attn_out = nn.Dropout(c.hidden_dropout_prob,
+                                  deterministic=deterministic)(attn_out)
+            hidden_new = layer_norm(_fence(hidden + attn_out), gm1, bt1,
+                                    c.layer_norm_eps)
+        hidden = hidden_new
         # FFN: dense -> exact GELU -> dense. Fused Pallas edition keeps the
         # 4H-wide GELU intermediate VMEM-resident (the XLA composition
         # materializes h and gelu(h) to HBM — ~1 GB/layer of pure traffic at
@@ -186,6 +215,29 @@ class BertLayer(nn.Module):
         if use_fmlp is None:
             use_fmlp = (jax.default_backend() == "tpu"
                         and not _os.environ.get("IDVS_NO_FMLP"))
+        # Post-epilogue edition: the whole FFN sub-block — dense->GELU->dense
+        # PLUS dropout-apply, residual add, and the post-LN — in ONE kernel
+        # (ops/pallas/mlp.py fused_mlp_resln). Removes the three XLA
+        # elementwise passes over (M, H) this tail otherwise costs per
+        # direction (part of the ~35 ms elementwise floor, BASELINE.md).
+        # LN params come from LNParams so the tree equals nn.LayerNorm's.
+        from .layers import LNParams, layer_norm
+        gm2, bt2 = LNParams(c.hidden_size, name="output_ln")()
+        use_post = use_fmlp and not _os.environ.get("IDVS_NO_FMLP_POST")
+        if use_post:
+            from ..ops.pallas.mlp import fused_mlp_resln
+            p_drop = 0.0 if deterministic else c.hidden_dropout_prob
+            seed = None
+            if p_drop > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (1,),
+                                          0, 2 ** 31 - 1, jnp.int32)
+            out2 = fused_mlp_resln(
+                hidden, ki.astype(hidden.dtype), bi.astype(hidden.dtype),
+                ko.astype(hidden.dtype), bo.astype(hidden.dtype),
+                ln2=(gm2, bt2), eps2=c.layer_norm_eps, drop_rate=p_drop,
+                seed=seed, interpret=jax.default_backend() != "tpu")
+            if out2 is not None:
+                return out2
         out = None
         if use_fmlp:
             from ..ops.pallas.mlp import fused_mlp
@@ -202,8 +254,7 @@ class BertLayer(nn.Module):
                 + bo.astype(inter.dtype)
         out = _fence(out)
         out = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(out)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps,
-                            name="output_ln")(_fence(hidden + out))
+        return layer_norm(_fence(hidden + out), gm2, bt2, c.layer_norm_eps)
 
 
 class _ScatterEmbed(nn.Embed):

@@ -76,10 +76,9 @@ class MultiHeadSelfAttention(nn.Module):
             p = nn.Dropout(self.drop_rate, deterministic=deterministic)(p)
             out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
             out = out.transpose(0, 2, 1, 3).reshape(B, L, self.d_model)
-        out = _fence(nn.Dense(self.d_model, use_bias=False,
-                              kernel_init=xavier_normal, name="fc")(out))
-        out = nn.Dropout(self.drop_rate, deterministic=deterministic)(out)
-        return out
+        kf, _ = ProjParams(self.d_model, self.d_model, use_bias=False,
+                           kernel_init=xavier_normal, name="fc")()
+        return out, kf
 
 
 class TransformerBlock(nn.Module):
@@ -89,18 +88,59 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, att_mask, deterministic: bool = True):
-        # post-LN residual MHA (modules.py:52-63)
-        h = MultiHeadSelfAttention(self.d_model, self.n_heads, self.drop_rate,
-                                   name="mha")(x, att_mask, deterministic)
-        x = nn.LayerNorm(epsilon=1e-6, name="ln_attn")(_fence(x + h))
-        # ReLU FFN, d_inner = 4*d (modules.py:5-17, 86)
-        h = nn.Dense(4 * self.d_model, kernel_init=xavier_normal,
-                     bias_init=zeros_init, name="w_1")(x)
-        h = _fence(nn.relu(h))
-        h = _fence(nn.Dense(self.d_model, kernel_init=xavier_normal,
-                            bias_init=zeros_init, name="w_2")(h))
+        import os as _o
+
+        from .layers import LNParams, layer_norm
+        # post-LN residual MHA (modules.py:52-63). On TPU the output
+        # projection + dropout + residual + LN run as one kernel
+        # (ops/pallas/mlp.py fused_proj_resln — same epilogue rationale as
+        # the BERT tails; the reference fc has no bias, so a zero bias is
+        # passed). Params identical to the nn.Dense/nn.LayerNorm tree.
+        ctx, kf = MultiHeadSelfAttention(self.d_model, self.n_heads,
+                                         self.drop_rate,
+                                         name="mha")(x, att_mask,
+                                                     deterministic)
+        gm_a, bt_a = LNParams(self.d_model, name="ln_attn")()
+        gm_f, bt_f = LNParams(self.d_model, name="ln_ffn")()
+        k1, b1 = ProjParams(self.d_model, 4 * self.d_model,
+                            kernel_init=xavier_normal, name="w_1")()
+        k2, b2 = ProjParams(4 * self.d_model, self.d_model,
+                            kernel_init=xavier_normal, name="w_2")()
+        use_post = (jax.default_backend() == "tpu"
+                    and not _o.environ.get("IDVS_NO_FMLP")
+                    and not _o.environ.get("IDVS_NO_FMLP_POST"))
+        p_drop = 0.0 if deterministic else self.drop_rate
+        if use_post:
+            from ..ops.pallas.mlp import fused_mlp_resln, fused_proj_resln
+            zb = jnp.zeros((self.d_model,), ctx.dtype)
+            seed_a = seed_f = None
+            if p_drop > 0.0:
+                seed_a = jax.random.randint(self.make_rng("dropout"), (1,),
+                                            0, 2 ** 31 - 1, jnp.int32)
+                seed_f = jax.random.randint(self.make_rng("dropout"), (1,),
+                                            0, 2 ** 31 - 1, jnp.int32)
+            x1 = fused_proj_resln(ctx, x, kf.astype(ctx.dtype), zb,
+                                  ln2=(gm_a, bt_a), eps2=1e-6,
+                                  drop_rate=p_drop, seed=seed_a)
+            if x1 is not None:
+                x2 = fused_mlp_resln(x1, k1.astype(x1.dtype),
+                                     b1.astype(x1.dtype),
+                                     k2.astype(x1.dtype),
+                                     b2.astype(x1.dtype),
+                                     ln2=(gm_f, bt_f), eps2=1e-6,
+                                     drop_rate=p_drop, seed=seed_f,
+                                     act="relu")
+                if x2 is not None:
+                    return x2
+        h = _fence(jnp.dot(ctx, kf.astype(ctx.dtype)))
         h = nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
-        return nn.LayerNorm(epsilon=1e-6, name="ln_ffn")(_fence(x + h))
+        x = layer_norm(_fence(x + h), gm_a, bt_a, 1e-6)
+        # ReLU FFN, d_inner = 4*d (modules.py:5-17, 86)
+        h = jnp.dot(x, k1.astype(x.dtype)) + b1.astype(x.dtype)
+        h = _fence(nn.relu(h))
+        h = _fence(jnp.dot(h, k2.astype(h.dtype)) + b2.astype(h.dtype))
+        h = nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
+        return layer_norm(_fence(x + h), gm_f, bt_f, 1e-6)
 
 
 class SASRecEncoder(nn.Module):

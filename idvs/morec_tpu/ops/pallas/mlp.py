@@ -311,6 +311,456 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
     return mlp
 
 
+# --------------------------------------------------------------------------
+# Post-epilogue edition: out = PostLN(x + dropout(dense2(act(dense1(x)))))
+#
+# BERT's post-LN FFN sub-block (models/bert.py BertLayer: fused_mlp -> fence
+# -> Dropout -> LN(hidden + out)) leaves three XLA elementwise passes over
+# (M, C) in forward (read out, read hidden, write y_pre; read y_pre, write
+# ln_out) and their mirrors in backward — part of the measured ~35 ms/step
+# elementwise HBM floor (BASELINE.md text_morec_uniform arithmetic). This
+# edition runs the dropout-apply, the residual add, and the post-LN as an
+# in-kernel epilogue: HBM sees x in and (ln_out, y_pre) out, nothing else.
+# y_pre (the pre-LN sum) is saved as a VJP residual so backward recomputes
+# only the LN statistics (VPU work) instead of the dot2 — the same
+# save-vs-recompute tradeoff as save_h.
+#
+# Dropout uses the TPU kernel PRNG seeded (seed + program_id), regenerated
+# in backward with the identical single draw per row block — the same
+# flash-style contract as the attention kernel's in-kernel dropout
+# (ops/pallas/attention.py). Draws differ from the XLA rbg path's (the
+# reference's torch dropout draws differ too); eval / drop_rate=0 is exact.
+# NOT the measured fused-add+LN dead end: that was a STANDALONE pallas_call
+# paying its own block DMA for pure-bandwidth work — here the epilogue rides
+# the MLP kernel's existing blocks and the only new traffic is y_pre.
+# --------------------------------------------------------------------------
+
+
+def _fwd_post_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     g2_ref, bt2_ref, out_ref, ypre_ref, h_ref, *,
+                     eps2, p, act):
+    if p > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[...]
+    h = _dot(x, w1_ref[...], 1, 0) + b1_ref[...].astype(jnp.float32)
+    h_ref[...] = h.astype(h_ref.dtype)
+    g = _act_f32(h, act).astype(x.dtype)
+    y = _dot(g, w2_ref[...], 1, 0) + b2_ref[...].astype(jnp.float32)
+    if p > 0.0:
+        bits = pltpu.prng_random_bits(y.shape)
+        thresh = jnp.uint32(min(int(p * (2.0 ** 32)), 2 ** 32 - 1))
+        keep = pltpu.bitcast(bits, jnp.uint32) >= thresh
+        y = jnp.where(keep, y / (1.0 - p), jnp.zeros_like(y))
+    ypre = y + x.astype(jnp.float32)
+    # cast BEFORE the LN stats so forward and backward (which recomputes the
+    # stats from the saved compute-dtype y_pre) see the same values
+    ypre_c = ypre.astype(ypre_ref.dtype)
+    ypre_ref[...] = ypre_c
+    _, _, out = _ln_f32(ypre_c.astype(jnp.float32), g2_ref, bt2_ref, eps2)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _bwd_post_kernel(seed_ref, x_ref, w1_ref, w2_ref, g2_ref, ypre_ref,
+                     h_ref, dout_ref, dx_ref, dg2_ref, dbt2_ref,
+                     dw1_ref, db1_ref, dw2_ref, db2_ref, *, eps2, p, act):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dg2_ref[...] = jnp.zeros_like(dg2_ref)
+        dbt2_ref[...] = jnp.zeros_like(dbt2_ref)
+
+    if p > 0.0:
+        # same seed, same single y-shaped draw => same mask as forward
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        bits = pltpu.prng_random_bits(dout_ref.shape)
+        thresh = jnp.uint32(min(int(p * (2.0 ** 32)), 2 ** 32 - 1))
+        keep = pltpu.bitcast(bits, jnp.uint32) >= thresh
+
+    # post-LN backward from the saved pre-LN sum
+    ypre = ypre_ref[...].astype(jnp.float32)
+    mu = jnp.mean(ypre, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(ypre * ypre, axis=-1, keepdims=True) - mu * mu,
+                      0.0)
+    rstd = jax.lax.rsqrt(var + eps2)
+    xhat = (ypre - mu) * rstd
+    dout = dout_ref[...].astype(jnp.float32)
+    dg2_ref[...] += jnp.sum(dout * xhat, axis=0,
+                            dtype=jnp.float32).reshape(dg2_ref.shape)
+    dbt2_ref[...] += jnp.sum(dout, axis=0,
+                             dtype=jnp.float32).reshape(dbt2_ref.shape)
+    dxhat = dout * g2_ref[...].astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dyp = rstd * (dxhat - m1 - xhat * m2)          # d(y_pre), f32
+
+    # dropout backward feeds the MLP chain; the residual branch is dyp itself
+    dmlp = (jnp.where(keep, dyp / (1.0 - p), jnp.zeros_like(dyp))
+            if p > 0.0 else dyp)
+    dmlp_c = dmlp.astype(x_ref.dtype)
+    h = h_ref[...].astype(jnp.float32)
+    g = _act_f32(h, act).astype(x_ref.dtype)
+    dw2_ref[...] += _dot(g, dmlp_c, 0, 0)
+    db2_ref[...] += jnp.sum(dmlp, axis=0,
+                            dtype=jnp.float32).reshape(db2_ref.shape)
+    dg_ = _dot(dmlp_c, w2_ref[...], 1, 1)
+    dh = (dg_ * _dact_f32(h, act)).astype(x_ref.dtype)
+    dw1_ref[...] += _dot(x_ref[...], dh, 0, 0)
+    db1_ref[...] += jnp.sum(dh, axis=0,
+                            dtype=jnp.float32).reshape(db1_ref.shape)
+    dx = _dot(dh, w1_ref[...], 1, 1) + dyp
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def _align_blocks(pick, drop_rate: float):
+    """The flash-style in-kernel dropout regenerates its mask in backward
+    from (seed + program_id) with block-shaped draws — forward and backward
+    row blocks MUST be equal whenever drop_rate > 0 or the regenerated mask
+    differs from the applied one (the attention kernel's NBf==NBb invariant,
+    PARITY r3 item 13). Eval / drop 0 keeps the independently-optimal picks."""
+    if pick is None or drop_rate <= 0.0:
+        return pick
+    bm = min(pick)
+    return (bm, bm)
+
+
+def _pick_block_post(C: int, F: int, itemsize: int):
+    """Row blocks for the post-epilogue edition: save_h geometry plus the
+    y_pre stream and the (1, C) LN-grad accumulators."""
+    Cl = -(-C // 128) * 128
+    Fl = -(-F // 128) * 128
+    res_w = 2 * C * Fl * itemsize + 2 * Fl * 4 + 2 * Cl * 4   # + gamma/beta
+    res_bwd = res_w + 2 * C * Fl * 4 + 2 * Fl * 4 + 2 * Cl * 4
+
+    def pick(bwd):
+        res = res_bwd if bwd else res_w
+        nio = 4 if bwd else 3          # x, ypre, out/dout (+dx in bwd)
+        for bm in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+            io = 2 * nio * bm * Cl * itemsize
+            io += 2 * bm * Fl * itemsize                      # h out/in
+            tmp = ((5 if bwd else 3) * bm * Fl * 4
+                   + (6 if bwd else 4) * bm * Cl * 4)
+            if tmp <= 12 * 2 ** 20 and res + io + tmp <= 40 * 2 ** 20:
+                return bm
+        return None
+    f, b = pick(False), pick(True)
+    return None if (f is None or b is None) else (f, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_post(eps2: float, p: float, interpret: bool, BMf: int, BMb: int,
+                act: str):
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    def fwd_call(seed, x, w1, b1, w2, b2, g2, bt2):
+        M, C = x.shape
+        F = w1.shape[1]
+        blk = lambda bm: pl.BlockSpec((bm, C), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+        blkF = pl.BlockSpec((BMf, F), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_fwd_post_kernel, eps2=eps2, p=p, act=act),
+            grid=(M // BMf,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk(BMf)]
+            + [const_spec(a.shape) for a in (w1, b1, w2, b2, g2, bt2)],
+            out_specs=[blk(BMf), blk(BMf), blkF],
+            out_shape=[jax.ShapeDtypeStruct((M, C), x.dtype),
+                       jax.ShapeDtypeStruct((M, C), x.dtype),
+                       jax.ShapeDtypeStruct((M, F), x.dtype)],
+            compiler_params=params,
+            interpret=interpret,
+        )(seed, x, w1, b1, w2, b2, g2, bt2)
+
+    def bwd_call(seed, x, w1, w2, g2, ypre, h, dout):
+        M, C = x.shape
+        F = w1.shape[1]
+        blk = pl.BlockSpec((BMb, C), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        blkF = pl.BlockSpec((BMb, F), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_bwd_post_kernel, eps2=eps2, p=p, act=act),
+            grid=(M // BMb,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk]
+            + [const_spec(a.shape) for a in (w1, w2, g2)]
+            + [blk, blkF, blk],
+            out_specs=[blk, const_spec((1, C)), const_spec((1, C)),
+                       const_spec((C, F)), const_spec((1, F)),
+                       const_spec((F, C)), const_spec((1, C))],
+            out_shape=[jax.ShapeDtypeStruct((M, C), x.dtype),
+                       jax.ShapeDtypeStruct((1, C), jnp.float32),
+                       jax.ShapeDtypeStruct((1, C), jnp.float32),
+                       jax.ShapeDtypeStruct((C, F), jnp.float32),
+                       jax.ShapeDtypeStruct((1, F), jnp.float32),
+                       jax.ShapeDtypeStruct((F, C), jnp.float32),
+                       jax.ShapeDtypeStruct((1, C), jnp.float32)],
+            compiler_params=params,
+            interpret=interpret,
+        )(seed, x, w1, w2, g2, ypre, h, dout)
+
+    @jax.custom_vjp
+    def mlp(seed, x, w1, b1, w2, b2, g2, bt2):
+        out, _, _ = fwd_call(seed, x, w1, b1, w2, b2, g2, bt2)
+        return out
+
+    def mlp_fwd(seed, x, w1, b1, w2, b2, g2, bt2):
+        out, ypre, h = fwd_call(seed, x, w1, b1, w2, b2, g2, bt2)
+        return out, (seed, x, w1, w2, g2, ypre, h)
+
+    def mlp_bwd(res, dout):
+        seed, x, w1, w2, g2, ypre, h = res
+        dx, dg2, dbt2, dw1, db1, dw2, db2 = bwd_call(
+            seed, x, w1, w2, g2, ypre, h, dout)
+        return (None, dx, dw1.astype(w1.dtype), db1.astype(w1.dtype),
+                dw2.astype(w2.dtype), db2.astype(w2.dtype),
+                dg2.astype(g2.dtype), dbt2.astype(g2.dtype))
+
+    mlp.defvjp(mlp_fwd, mlp_bwd)
+    return mlp
+
+
+def fused_mlp_resln(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+                    w2: jnp.ndarray, b2: jnp.ndarray, *,
+                    ln2: tuple, eps2: float, drop_rate: float = 0.0,
+                    seed=None, act: str = "gelu",
+                    interpret: bool = None) -> jnp.ndarray:
+    """(..., C) -> (..., C): PostLN(x + dropout(dense2(act(dense1(x))))).
+
+    BERT's post-LN FFN sub-block in one kernel (models/bert.py BertLayer);
+    ln2 = (scale, bias) of the POST LayerNorm, eps2 its epsilon. drop_rate
+    uses the in-kernel TPU PRNG (seed: (1,) int32) — pass 0.0 when
+    deterministic. Returns None when no row blocking fits VMEM (caller
+    falls back)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    C = x.shape[-1]
+    F = w1.shape[1]
+    pick = _align_blocks(_pick_block_post(C, F, x.dtype.itemsize), drop_rate)
+    if pick is None:
+        return None
+    if drop_rate > 0.0 and interpret:
+        # pltpu.prng_* has no interpret lowering on CPU — only the exact
+        # (eval / drop 0) epilogue is testable off-TPU
+        return None
+    BMf, BMb = pick
+    shape = x.shape
+    x2 = x.reshape(-1, C)
+    M = x2.shape[0]
+    pad = (-M) % max(BMf, BMb)
+    if pad:
+        # padded rows: y_pre = 0 row, LN stats finite (rstd = 1/sqrt(eps)),
+        # dout rows are zero-padded by the VJP -> all grads contributions 0
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    assert act in ("gelu", "relu", "quick_gelu"), act
+    out = _build_post(float(eps2), float(drop_rate), bool(interpret),
+                      BMf, BMb, act)(
+        seed, x2, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+        ln2[0].reshape(1, -1), ln2[1].reshape(1, -1))
+    if pad:
+        out = out[:M]
+    return out.reshape(shape)
+
+
+# --------------------------------------------------------------------------
+# Projection epilogue edition: out = PostLN(res + dropout(x @ W + b))
+#
+# BERT's post-attention sub-block tail (models/bert.py BertLayer:
+# attention_output Dense -> fence -> Dropout -> LN(hidden + out)) — the same
+# three XLA elementwise passes as the FFN tail, riding a single projection.
+# Same save-y_pre / regenerate-mask contract as fused_mlp_resln. NOT the r2
+# fully-fused-attention dead end: the projection keeps its own kernel with
+# big-M row blocks; only its tail moves in.
+# --------------------------------------------------------------------------
+
+
+def _fwd_proj_kernel(seed_ref, x_ref, res_ref, w_ref, b_ref, g2_ref, bt2_ref,
+                     out_ref, ypre_ref, *, eps2, p):
+    if p > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    y = _dot(x_ref[...], w_ref[...], 1, 0) + b_ref[...].astype(jnp.float32)
+    if p > 0.0:
+        bits = pltpu.prng_random_bits(y.shape)
+        thresh = jnp.uint32(min(int(p * (2.0 ** 32)), 2 ** 32 - 1))
+        keep = pltpu.bitcast(bits, jnp.uint32) >= thresh
+        y = jnp.where(keep, y / (1.0 - p), jnp.zeros_like(y))
+    ypre = y + res_ref[...].astype(jnp.float32)
+    ypre_c = ypre.astype(ypre_ref.dtype)
+    ypre_ref[...] = ypre_c
+    _, _, out = _ln_f32(ypre_c.astype(jnp.float32), g2_ref, bt2_ref, eps2)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _bwd_proj_kernel(seed_ref, x_ref, w_ref, g2_ref, ypre_ref, dout_ref,
+                     dx_ref, dres_ref, dg2_ref, dbt2_ref, dw_ref, db_ref, *,
+                     eps2, p):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dg2_ref[...] = jnp.zeros_like(dg2_ref)
+        dbt2_ref[...] = jnp.zeros_like(dbt2_ref)
+
+    if p > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        bits = pltpu.prng_random_bits(dout_ref.shape)
+        thresh = jnp.uint32(min(int(p * (2.0 ** 32)), 2 ** 32 - 1))
+        keep = pltpu.bitcast(bits, jnp.uint32) >= thresh
+
+    ypre = ypre_ref[...].astype(jnp.float32)
+    mu = jnp.mean(ypre, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(ypre * ypre, axis=-1, keepdims=True) - mu * mu,
+                      0.0)
+    rstd = jax.lax.rsqrt(var + eps2)
+    xhat = (ypre - mu) * rstd
+    dout = dout_ref[...].astype(jnp.float32)
+    dg2_ref[...] += jnp.sum(dout * xhat, axis=0,
+                            dtype=jnp.float32).reshape(dg2_ref.shape)
+    dbt2_ref[...] += jnp.sum(dout, axis=0,
+                             dtype=jnp.float32).reshape(dbt2_ref.shape)
+    dxhat = dout * g2_ref[...].astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dyp = rstd * (dxhat - m1 - xhat * m2)
+    dres_ref[...] = dyp.astype(dres_ref.dtype)
+
+    dproj = (jnp.where(keep, dyp / (1.0 - p), jnp.zeros_like(dyp))
+             if p > 0.0 else dyp)
+    dproj_c = dproj.astype(x_ref.dtype)
+    dw_ref[...] += _dot(x_ref[...], dproj_c, 0, 0)
+    db_ref[...] += jnp.sum(dproj, axis=0,
+                           dtype=jnp.float32).reshape(db_ref.shape)
+    dx_ref[...] = _dot(dproj_c, w_ref[...], 1, 1).astype(dx_ref.dtype)
+
+
+def _pick_block_proj(C: int, itemsize: int):
+    Cl = -(-C // 128) * 128
+    res_w = C * Cl * itemsize + Cl * 4 + 2 * Cl * 4
+    res_bwd = res_w + C * Cl * 4 + Cl * 4 + 2 * Cl * 4
+
+    def pick(bwd):
+        res = res_bwd if bwd else res_w
+        nio = 5 if bwd else 4
+        for bm in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+            io = 2 * nio * bm * Cl * itemsize
+            tmp = (6 if bwd else 4) * bm * Cl * 4
+            if tmp <= 12 * 2 ** 20 and res + io + tmp <= 40 * 2 ** 20:
+                return bm
+        return None
+    f, b = pick(False), pick(True)
+    return None if (f is None or b is None) else (f, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_proj(eps2: float, p: float, interpret: bool, BMf: int, BMb: int):
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    def fwd_call(seed, x, res, w, b, g2, bt2):
+        M, C = x.shape
+        blk = pl.BlockSpec((BMf, C), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_fwd_proj_kernel, eps2=eps2, p=p),
+            grid=(M // BMf,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk, blk]
+            + [const_spec(a.shape) for a in (w, b, g2, bt2)],
+            out_specs=[blk, blk],
+            out_shape=[jax.ShapeDtypeStruct((M, C), x.dtype)] * 2,
+            compiler_params=params,
+            interpret=interpret,
+        )(seed, x, res, w, b, g2, bt2)
+
+    def bwd_call(seed, x, w, g2, ypre, dout):
+        M, C = x.shape
+        blk = pl.BlockSpec((BMb, C), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_bwd_proj_kernel, eps2=eps2, p=p),
+            grid=(M // BMb,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk]
+            + [const_spec(a.shape) for a in (w, g2)] + [blk, blk],
+            out_specs=[blk, blk, const_spec((1, C)), const_spec((1, C)),
+                       const_spec((C, C)), const_spec((1, C))],
+            out_shape=[jax.ShapeDtypeStruct((M, C), x.dtype),
+                       jax.ShapeDtypeStruct((M, C), x.dtype),
+                       jax.ShapeDtypeStruct((1, C), jnp.float32),
+                       jax.ShapeDtypeStruct((1, C), jnp.float32),
+                       jax.ShapeDtypeStruct((C, C), jnp.float32),
+                       jax.ShapeDtypeStruct((1, C), jnp.float32)],
+            compiler_params=params,
+            interpret=interpret,
+        )(seed, x, w, g2, ypre, dout)
+
+    @jax.custom_vjp
+    def proj(seed, x, res, w, b, g2, bt2):
+        out, _ = fwd_call(seed, x, res, w, b, g2, bt2)
+        return out
+
+    def proj_fwd(seed, x, res, w, b, g2, bt2):
+        out, ypre = fwd_call(seed, x, res, w, b, g2, bt2)
+        return out, (seed, x, w, g2, ypre)
+
+    def proj_bwd(resid, dout):
+        seed, x, w, g2, ypre = resid
+        dx, dres, dg2, dbt2, dw, db = bwd_call(seed, x, w, g2, ypre, dout)
+        return (None, dx, dres, dw.astype(w.dtype), db.astype(w.dtype),
+                dg2.astype(g2.dtype), dbt2.astype(g2.dtype))
+
+    proj.defvjp(proj_fwd, proj_bwd)
+    return proj
+
+
+def fused_proj_resln(x: jnp.ndarray, res: jnp.ndarray, w: jnp.ndarray,
+                     b: jnp.ndarray, *, ln2: tuple, eps2: float,
+                     drop_rate: float = 0.0, seed=None,
+                     interpret: bool = None) -> jnp.ndarray:
+    """(..., C) -> (..., C): PostLN(res + dropout(x @ w + b)).
+
+    BERT's post-attention projection sub-block in one kernel
+    (models/bert.py BertLayer attention tail). Returns None when no row
+    blocking fits VMEM or (drop_rate>0, interpret) — caller falls back."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    C = x.shape[-1]
+    pick = _align_blocks(_pick_block_proj(C, x.dtype.itemsize), drop_rate)
+    if pick is None:
+        return None
+    if drop_rate > 0.0 and interpret:
+        return None
+    BMf, BMb = pick
+    shape = x.shape
+    x2 = x.reshape(-1, C)
+    r2 = res.reshape(-1, C)
+    M = x2.shape[0]
+    pad = (-M) % max(BMf, BMb)
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        r2 = jnp.pad(r2, ((0, pad), (0, 0)))
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    out = _build_proj(float(eps2), float(drop_rate), bool(interpret),
+                      BMf, BMb)(
+        seed, x2, r2, w, b.reshape(1, -1),
+        ln2[0].reshape(1, -1), ln2[1].reshape(1, -1))
+    if pad:
+        out = out[:M]
+    return out.reshape(shape)
+
+
 def fused_mlp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
               w2: jnp.ndarray, b2: jnp.ndarray, *,
               ln: tuple = None, eps: float = 1e-5, save_h: bool = False,

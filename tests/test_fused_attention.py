@@ -204,8 +204,10 @@ def test_sasrec_fused_attention_matches_xla():
     m_x = MultiHeadSelfAttention(D, 2, 0.1, fused=False)
     m_f = MultiHeadSelfAttention(D, 2, 0.1, fused=True)
     params = m_x.init(jax.random.PRNGKey(0), x, att_mask, True)
-    o_x = m_x.apply(params, x, att_mask, True)
-    o_f = m_f.apply(params, x, att_mask, True)
+    # the module returns (context, fc_kernel) — the output projection is
+    # applied by TransformerBlock (possibly inside the epilogue kernel)
+    o_x, _ = m_x.apply(params, x, att_mask, True)
+    o_f, _ = m_f.apply(params, x, att_mask, True)
     np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_x),
                                rtol=2e-5, atol=2e-5)
 

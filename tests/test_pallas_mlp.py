@@ -158,3 +158,116 @@ def test_fused_mlp_relu_ln_grads(save_h):
     for w, g in zip(want, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_fused_mlp_resln_fwd_and_grads():
+    """Post-epilogue edition: PostLN(x + dense2(gelu(dense1(x)))) in one
+    kernel (BERT's post-LN FFN sub-block, models/bert.py BertLayer tail).
+    drop_rate=0 is the exact regime testable off-TPU (the in-kernel PRNG
+    has no interpret lowering)."""
+    from idvs.morec_tpu.ops.pallas.mlp import fused_mlp_resln
+
+    rng = np.random.default_rng(11)
+    C, F, M = 64, 256, 40     # odd M exercises the pad path
+    x = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    w1, b1, w2, b2 = _params(rng, C, F)
+    gm = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    bt = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+
+    def want_fn(x, w1, b1, w2, b2, gm, bt):
+        return jnp.sum(jnp.sin(_ln_ref(x + _ref(x, w1, b1, w2, b2), gm, bt)))
+
+    def got_fn(x, w1, b1, w2, b2, gm, bt):
+        return jnp.sum(jnp.sin(fused_mlp_resln(
+            x, w1, b1, w2, b2, ln2=(gm, bt), eps2=EPS, drop_rate=0.0,
+            interpret=True)))
+
+    args = (x, w1, b1, w2, b2, gm, bt)
+    np.testing.assert_allclose(np.asarray(got_fn(*args)),
+                               np.asarray(want_fn(*args)), rtol=1e-5)
+    want = jax.grad(want_fn, argnums=tuple(range(7)))(*args)
+    got = jax.grad(got_fn, argnums=tuple(range(7)))(*args)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_bert_layer_post_epilogue_matches_fallback():
+    """BertLayer with the post-epilogue kernel (interpret, drop 0) equals the
+    IDVS_NO_FMLP_POST fallback composition bit-for-bit in f32."""
+    import os
+
+    from idvs.morec_tpu.models.bert import BertConfig, BertModel
+
+    cfg = BertConfig(vocab_size=97, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=16, hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0,
+                     fused_attention=False, fused_ffn=True,
+                     fused_embed_backward=False)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(1, 97, size=(4, 12)), jnp.int32)
+    am = jnp.asarray((rng.uniform(size=(4, 12)) < 0.9), jnp.int32)
+    model = BertModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids, am)
+
+    out_post = model.apply(params, ids, am, True)
+    os.environ["IDVS_NO_FMLP_POST"] = "1"
+    try:
+        out_fall = model.apply(params, ids, am, True)
+    finally:
+        del os.environ["IDVS_NO_FMLP_POST"]
+    np.testing.assert_allclose(np.asarray(out_post), np.asarray(out_fall),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_fused_proj_resln_fwd_and_grads():
+    """Projection epilogue edition: PostLN(res + x @ w + b) in one kernel
+    (BERT's post-attention tail, models/bert.py BertLayer)."""
+    from idvs.morec_tpu.ops.pallas.mlp import fused_proj_resln
+
+    rng = np.random.default_rng(13)
+    C, M = 64, 41     # odd M exercises the pad path
+    x = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    res = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    gm = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    bt = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+
+    def want_fn(x, res, w, b, gm, bt):
+        return jnp.sum(jnp.sin(_ln_ref(res + jnp.dot(x, w) + b, gm, bt)))
+
+    def got_fn(x, res, w, b, gm, bt):
+        return jnp.sum(jnp.sin(fused_proj_resln(
+            x, res, w, b, ln2=(gm, bt), eps2=EPS, drop_rate=0.0,
+            interpret=True)))
+
+    args = (x, res, w, b, gm, bt)
+    np.testing.assert_allclose(np.asarray(got_fn(*args)),
+                               np.asarray(want_fn(*args)), rtol=1e-5)
+    want = jax.grad(want_fn, argnums=tuple(range(6)))(*args)
+    got = jax.grad(got_fn, argnums=tuple(range(6)))(*args)
+    for w_, g_ in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(w_),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_epilogue_blocks_equal_under_dropout():
+    """Structural invariant: the epilogue kernels' flash-style dropout
+    regenerates the mask in backward from (seed + program_id) with
+    block-shaped draws, so BMf == BMb whenever drop_rate > 0 — the
+    attention kernel's NBf==NBb invariant (PARITY r3 item 13). Pinned at
+    the bench geometry, where the unforced picks differ (post: 256 vs 128)."""
+    from idvs.morec_tpu.ops.pallas.mlp import (_align_blocks,
+                                               _pick_block_post,
+                                               _pick_block_proj)
+
+    raw = _pick_block_post(512, 2048, 2)
+    assert raw[0] != raw[1], "geometry no longer distinguishes — move it"
+    for pick in (raw, _pick_block_proj(512, 2)):
+        bf, bb = _align_blocks(pick, 0.1)
+        assert bf == bb == min(pick)
+        # drop 0 keeps the independently-optimal picks
+        assert _align_blocks(pick, 0.0) == pick
+    assert _align_blocks(None, 0.1) is None

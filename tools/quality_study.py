@@ -93,11 +93,12 @@ def bert_tiny_dir(root):
 
 
 def run_one(root, data_dir, tower, seed, pretrained_dir=None, dedup=False,
-            drop_rate=0.1, epochs=8):
+            drop_rate=0.1, epochs=8, loss="inbatch_ce"):
     from idvs.morec_tpu.run import main as run_main
     cwd = os.getcwd()
-    rundir = os.path.join(root, "run_{}_{}_{}_{}".format(
-        os.path.basename(data_dir), tower, seed, int(dedup)))
+    rundir = os.path.join(root, "run_{}_{}_{}_{}{}".format(
+        os.path.basename(data_dir), tower, seed, int(dedup),
+        "" if loss == "inbatch_ce" else "_" + loss))
     os.makedirs(rundir, exist_ok=True)
     cache = os.path.join(rundir, "result.json")
     if os.path.exists(cache):
@@ -114,7 +115,7 @@ def run_one(root, data_dir, tower, seed, pretrained_dir=None, dedup=False,
             "--transformer_block", "2", "--num_attention_heads", "2",
             "--epoch", str(epochs), "--lr", "1e-3", "--drop_rate", str(drop_rate),
             "--eval_batch_size", "256", "--seed", str(12345 + seed),
-            "--mode", "train",
+            "--mode", "train", "--loss", loss,
         ]
         if tower == "modal":
             # random-init proxy recipe: masked-mean pooling + a from-scratch
@@ -148,7 +149,7 @@ def main():
     ap.add_argument("--out", default="")
     ap.add_argument("--workdir", default="")
     ap.add_argument("--arm", default="all",
-                    choices=["all", "directional", "dedup"])
+                    choices=["all", "directional", "dedup", "bce"])
     ap.add_argument("--tpu", action="store_true",
                     help="run on the default backend instead of forced CPU "
                          "— exercises the fused Pallas kernels in a real "
@@ -191,8 +192,28 @@ def main():
         on.append(run_one(root, data_dir, "modal", 10 + s,
                           pretrained_dir=bert_dir, dedup=True))
         print(f"[dedup] seed {s}: off {off[-1]:.2f}  on {on[-1]:.2f}")
-    results["dedup_effect"] = {"dedup_off_hr10": mean_std(off),
-                               "dedup_on_hr10": mean_std(on)}
+    if arms_dedup:
+        results["dedup_effect"] = {"dedup_off_hr10": mean_std(off),
+                                   "dedup_on_hr10": mean_std(on)}
+
+    # BCE loss family (VERDICT r3 item 9): same informative catalog, same
+    # towers, loss='bce' — the study's MoRec-vs-IDRec direction should hold
+    # for both loss families (the reference notes in-batch CE converges
+    # faster, README.md:121, so BCE gets more epochs)
+    if args.arm in ("all", "bce"):
+        data_dir = os.path.join(root, "DATA_informative")
+        if not os.path.isdir(data_dir):
+            make_dataset(data_dir, seed=100, informative=True)
+        id_b, mo_b = [], []
+        for s in range(args.seeds):
+            id_b.append(run_one(root, data_dir, "id", 20 + s,
+                                loss="bce", epochs=16))
+            mo_b.append(run_one(root, data_dir, "modal", 20 + s,
+                                pretrained_dir=bert_dir, loss="bce",
+                                epochs=16))
+            print(f"[bce] seed {s}: IDRec {id_b[-1]:.2f}  MoRec {mo_b[-1]:.2f}")
+        results["bce"] = {"idrec_hr10": mean_std(id_b),
+                          "morec_hr10": mean_std(mo_b)}
 
     print(json.dumps(results, indent=2))
     if args.out:

@@ -71,6 +71,79 @@ def make_dataset(base, seed, n_items=600, n_groups=12, n_users=1500,
             f.write(f"u{u}\t" + " ".join(f"i{k}" for k in items) + "\n")
 
 
+GROUP_PALETTE = np.array(
+    [[200, 60, 60], [60, 200, 60], [60, 60, 200], [200, 200, 60],
+     [200, 60, 200], [60, 200, 200], [230, 140, 40], [140, 40, 230],
+     [40, 230, 140], [120, 120, 120], [230, 230, 230], [90, 50, 20]],
+    dtype=np.uint8)
+
+
+def _item_image(code, group):
+    """32x32 uint8: group-colored frame + a 16-bit block pattern of `code`
+    (4x4 grid of 6x6-px blocks — aligned with the tiny Swin's 4-px patches
+    so the pattern survives patch embedding)."""
+    img = np.empty((32, 32, 3), np.uint8)
+    img[:, :] = GROUP_PALETTE[group % len(GROUP_PALETTE)]
+    for i in range(4):
+        for j in range(4):
+            v = 255 if (code >> (i * 4 + j)) & 1 else 0
+            img[4 + i * 6:10 + i * 6, 4 + j * 6:10 + j * 6] = v
+    return img
+
+
+def make_vision_dataset(base, seed, n_items=600, n_groups=12, n_users=1500,
+                        informative=True, zipf_a=1.4):
+    """The vision twin of make_dataset: same behavior generation, but item
+    content is an IMAGE in an MKV record store. Informative images carry the
+    group color AND an item-unique 16-bit block pattern; uninformative ones
+    carry the group color plus a noise pattern shared across ~1/64 of the
+    catalog (uncorrelated with behavior — same tie-breaking role as the text
+    arm's noise token)."""
+    from idvs.morec_tpu.data.imagestore import write_mkv
+    rng = np.random.default_rng(seed)
+    os.makedirs(base, exist_ok=True)
+    per = n_items // n_groups
+
+    def records():
+        for k in range(1, n_items + 1):
+            g = (k - 1) // per
+            code = k if informative else 1000 + int(rng.integers(64))
+            yield str(k).encode("ascii"), _item_image(code, g)
+
+    write_mkv(os.path.join(base, "images.mkv"), records())
+    with open(os.path.join(base, "news.tsv"), "w") as f:
+        for k in range(1, n_items + 1):
+            f.write(f"v{k}\n")
+    rng2 = np.random.default_rng(seed + 1)
+    with open(os.path.join(base, "behaviors.tsv"), "w") as f:
+        for u in range(n_users):
+            g = rng2.integers(0, n_groups)
+            members = np.arange(1 + g * per, 1 + (g + 1) * per)
+            w = 1.0 / np.power(np.arange(1, per + 1), zipf_a)
+            w /= w.sum()
+            L = int(rng2.integers(6, 12))
+            items = rng2.choice(members, size=min(L, per), replace=False, p=w)
+            f.write(f"u{u}\t" + " ".join(f"v{k}" for k in items) + "\n")
+
+
+def swin_study_dir(root):
+    """Random-init tiny HF Swin checkpoint on disk (32x32 images, 4-px
+    patches) — the vision twin of bert_tiny_dir's pretrained-free proxy."""
+    import torch
+    from transformers import SwinConfig, SwinForImageClassification
+    d = os.path.join(root, "pretrained", "swin-study")
+    if os.path.isdir(d):
+        return d
+    os.makedirs(d, exist_ok=True)
+    cfg = SwinConfig(image_size=32, patch_size=4, num_channels=3,
+                     embed_dim=16, depths=[2, 2], num_heads=[2, 4],
+                     window_size=4, mlp_ratio=2.0, drop_path_rate=0.0)
+    torch.manual_seed(0)
+    SwinForImageClassification(cfg).save_pretrained(d, safe_serialization=False)
+    cfg.save_pretrained(d)
+    return d
+
+
 def bert_tiny_dir(root):
     """Random-init tiny BERT checkpoint on disk (pretrained-free proxy)."""
     import torch
@@ -93,7 +166,7 @@ def bert_tiny_dir(root):
 
 
 def run_one(root, data_dir, tower, seed, pretrained_dir=None, dedup=False,
-            drop_rate=0.1, epochs=8, loss="inbatch_ce"):
+            drop_rate=0.1, epochs=8, loss="inbatch_ce", modality="text"):
     from idvs.morec_tpu.run import main as run_main
     cwd = os.getcwd()
     rundir = os.path.join(root, "run_{}_{}_{}_{}{}".format(
@@ -117,7 +190,16 @@ def run_one(root, data_dir, tower, seed, pretrained_dir=None, dedup=False,
             "--eval_batch_size", "256", "--seed", str(12345 + seed),
             "--mode", "train", "--loss", loss,
         ]
-        if tower == "modal":
+        if tower == "modal" and modality == "vision":
+            # random-init tiny-Swin proxy: full-rate fine-tune lr like the
+            # text proxy (a pretrained encoder would use the reference's low
+            # fine_tune_lr); CV_resize matches the stored 32x32 images
+            args += ["--modality", "vision", "--cv_model_load",
+                     os.path.basename(pretrained_dir),
+                     "--pretrained_models_dir", os.path.dirname(pretrained_dir),
+                     "--image_store", "images.mkv", "--CV_resize", "32",
+                     "--fine_tune_lr", "5e-3"]
+        elif tower == "modal":
             # random-init proxy recipe: masked-mean pooling + a from-scratch
             # fine-tune lr (the paper fine-tunes PRETRAINED encoders at low
             # lr; a random-init proxy needs the signal path of mean pooling
@@ -149,7 +231,7 @@ def main():
     ap.add_argument("--out", default="")
     ap.add_argument("--workdir", default="")
     ap.add_argument("--arm", default="all",
-                    choices=["all", "directional", "dedup", "bce"])
+                    choices=["all", "directional", "dedup", "bce", "vision"])
     ap.add_argument("--tpu", action="store_true",
                     help="run on the default backend instead of forced CPU "
                          "— exercises the fused Pallas kernels in a real "
@@ -214,6 +296,28 @@ def main():
             print(f"[bce] seed {s}: IDRec {id_b[-1]:.2f}  MoRec {mo_b[-1]:.2f}")
         results["bce"] = {"idrec_hr10": mean_std(id_b),
                           "morec_hr10": mean_std(mo_b)}
+
+    # vision modality (round 4): the directional study's vision twin — item
+    # content is an image in the MKV store through the real vision pipeline
+    # (manifest -> store -> VisionBatchPipe -> Flax Swin tower)
+    if args.arm in ("all", "vision"):
+        swin_dir = swin_study_dir(root)
+        for informative in (True, False):
+            tag = "vis_informative" if informative else "vis_uninformative"
+            data_dir = os.path.join(root, f"DATA_{tag}")
+            idrec, morec = [], []
+            for s in range(args.seeds):
+                if s == 0 and not os.path.isdir(data_dir):
+                    make_vision_dataset(data_dir, seed=200,
+                                        informative=informative)
+                idrec.append(run_one(root, data_dir, "id", s))
+                morec.append(run_one(root, data_dir, "modal", s,
+                                     pretrained_dir=swin_dir,
+                                     modality="vision"))
+                print(f"[{tag}] seed {s}: IDRec {idrec[-1]:.2f}  "
+                      f"MoRec {morec[-1]:.2f}")
+            results[tag] = {"idrec_hr10": mean_std(idrec),
+                            "morec_hr10": mean_std(morec)}
 
     print(json.dumps(results, indent=2))
     if args.out:

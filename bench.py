@@ -265,10 +265,12 @@ def main():
         state, loss = step(state, batch0)
     read(loss)
 
-    # timed-loop lengths: text steps are ~0.15 s so more iters cost seconds
-    # while halving tunnel jitter (a 10-iter headline run once read e2e 10%
-    # ABOVE device-only — pure scheduling noise); vision steps are ~1.4 s
-    iters = {"text_morec": 20, "text_morec_uniform": 20,
+    # timed-loop lengths: text steps are now ~25-75 ms, so a 20-iter window
+    # is only ~0.5-1.5 s and single tunnel hiccups (~15 ms) read as ±3%
+    # (a 10-iter headline run once read e2e 10% ABOVE device-only — pure
+    # scheduling noise); 40 iters doubles the window for ~1 s extra wall
+    # time. Vision steps are ~1.4 s so short loops are already stable.
+    iters = {"text_morec": 40, "text_morec_uniform": 40,
              "vision_morec": 6, "vision_morec_zipf": 8}.get(config, 30)
 
     # device-only: re-feed one resident batch. End with a D2H read of the

@@ -278,6 +278,8 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
     for alias, dest in REF_FLAG_ALIASES.items():
         f = fields[dest]
         field_type = f.type if isinstance(f.type, type) else type(f.default)
+        if field_type is bool:   # bool('False') is True — same str2bool as
+            field_type = str2bool   # the canonical loop above
         parser.add_argument(f"--{alias}", dest=dest, type=field_type,
                             default=argparse.SUPPRESS)
     # accepted for reference-CLI compatibility; ignored (JAX has no local_rank)

@@ -171,18 +171,13 @@ class BertLayer(nn.Module):
         # On TPU the whole tail runs as one kernel (fused_proj_resln) —
         # same epilogue rationale as the FFN tail below. Params identical
         # to nn.Dense(attention_output) + nn.LayerNorm(attention_ln).
-        from .layers import LNParams, layer_norm
+        from .layers import LNParams, fused_tail_gates, layer_norm
         kp, bp = ProjParams(c.hidden_size, c.hidden_size,
                             name="attention_output")()
         gm1, bt1 = LNParams(c.hidden_size, name="attention_ln")()
-        use_fmlp_gate = c.fused_ffn
-        if use_fmlp_gate is None:
-            use_fmlp_gate = (jax.default_backend() == "tpu"
-                             and not _os.environ.get("IDVS_NO_FMLP"))
-        use_fmlp_gate = (use_fmlp_gate
-                         and not _os.environ.get("IDVS_NO_FMLP_POST"))
+        use_fmlp, use_post = fused_tail_gates(c.fused_ffn)
         hidden_new = None
-        if use_fmlp_gate:
+        if use_post:
             from ..ops.pallas.mlp import fused_proj_resln
             p_drop = 0.0 if deterministic else c.hidden_dropout_prob
             seed = None
@@ -211,19 +206,13 @@ class BertLayer(nn.Module):
                             name="intermediate")()
         ko, bo = ProjParams(c.intermediate_size, c.hidden_size,
                             name="output")()
-        use_fmlp = c.fused_ffn
-        if use_fmlp is None:
-            use_fmlp = (jax.default_backend() == "tpu"
-                        and not _os.environ.get("IDVS_NO_FMLP"))
         # Post-epilogue edition: the whole FFN sub-block — dense->GELU->dense
         # PLUS dropout-apply, residual add, and the post-LN — in ONE kernel
         # (ops/pallas/mlp.py fused_mlp_resln). Removes the three XLA
         # elementwise passes over (M, H) this tail otherwise costs per
         # direction (part of the ~35 ms elementwise floor, BASELINE.md).
         # LN params come from LNParams so the tree equals nn.LayerNorm's.
-        from .layers import LNParams, layer_norm
         gm2, bt2 = LNParams(c.hidden_size, name="output_ln")()
-        use_post = use_fmlp and not _os.environ.get("IDVS_NO_FMLP_POST")
         if use_post:
             from ..ops.pallas.mlp import fused_mlp_resln
             p_drop = 0.0 if deterministic else c.hidden_dropout_prob

@@ -33,7 +33,6 @@ take_along_axis per bias term.
 from __future__ import annotations
 
 import dataclasses
-import os as _os
 from typing import Dict, List, Optional, Set, Tuple
 
 import flax.linen as nn
@@ -177,10 +176,8 @@ class DebertaLayer(nn.Module):
         ki, bi = PP(c.hidden_size, c.intermediate_size,
                     name="intermediate")()
         ko, bo = PP(c.intermediate_size, c.hidden_size, name="output")()
-        use_fmlp = c.fused_ffn
-        if use_fmlp is None:
-            use_fmlp = (jax.default_backend() == "tpu"
-                        and not _os.environ.get("IDVS_NO_FMLP"))
+        from .layers import fused_tail_gates
+        use_fmlp, _ = fused_tail_gates(c.fused_ffn)
         out = None
         if use_fmlp:
             from ..ops.pallas.mlp import fused_mlp

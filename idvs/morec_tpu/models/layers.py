@@ -33,6 +33,25 @@ def layer_norm(x, scale, bias, eps):
     return y.astype(x.dtype)
 
 
+def fused_tail_gates(override=None):
+    """(use_fused_ffn, use_post_epilogue) — the ONE gate for the fused
+    Pallas MLP/projection tails (models/bert.py, models/sasrec.py, and any
+    future caller keep in sync by calling this).
+
+    override: a config tri-state (e.g. BertConfig.fused_ffn). None = auto:
+    TPU backend unless IDVS_NO_FMLP is set. An explicit True forces the
+    fused path even off-TPU (interpret-mode tests). IDVS_NO_FMLP_POST
+    additionally disables only the post-LN epilogue editions
+    (fused_mlp_resln / fused_proj_resln), keeping plain fused_mlp."""
+    import os
+    use = override
+    if use is None:
+        use = (jax.default_backend() == "tpu"
+               and not os.environ.get("IDVS_NO_FMLP"))
+    use_post = bool(use) and not os.environ.get("IDVS_NO_FMLP_POST")
+    return bool(use), use_post
+
+
 def pre_ln_mlp(x, features, *, ln_name, fc1_name, fc2_name, eps,
                act="gelu", save_h=True):
     """Pre-LN ViT-style MLP sub-block: LN -> dense(features) -> act ->
@@ -42,14 +61,11 @@ def pre_ln_mlp(x, features, *, ln_name, fc1_name, fc2_name, eps,
     XLA), the functional composition elsewhere. Must be called from inside
     a compact __call__ (submodules bind to the caller's scope). The
     residual add / dropout / LayerScale stay with the caller."""
-    import os
-    import jax
     C = x.shape[-1]
     gm, bt = LNParams(C, name=ln_name)()
     k1, b1 = ProjParams(C, features, name=fc1_name)()
     k2, b2 = ProjParams(features, C, name=fc2_name)()
-    if (jax.default_backend() == "tpu"
-            and not os.environ.get("IDVS_NO_FMLP")):
+    if fused_tail_gates()[0]:
         from ..ops.pallas.mlp import fused_mlp
         h = fused_mlp(x, k1.astype(x.dtype), b1.astype(x.dtype),
                       k2.astype(x.dtype), b2.astype(x.dtype),

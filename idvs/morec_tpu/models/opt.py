@@ -11,7 +11,6 @@ padding additive mask.
 from __future__ import annotations
 
 import dataclasses
-import os as _os
 from typing import Dict, List, Optional, Set, Tuple
 
 import flax.linen as nn
@@ -82,13 +81,12 @@ class OPTLayer(nn.Module):
         # pre-LN ReLU FFN; fused Pallas edition on TPU (ops/pallas/mlp.py,
         # LN absorbed, ffn_dim-wide intermediate VMEM-resident). Param tree
         # unchanged via LNParams/ProjParams; dropout stays outside.
-        from .layers import LNParams, ProjParams, layer_norm
+        from .layers import LNParams, ProjParams, fused_tail_gates, layer_norm
         gm, bt = LNParams(c.hidden_size, name="final_layer_norm")()
         k1, b1 = ProjParams(c.hidden_size, c.ffn_dim, name="fc1")()
         k2, b2 = ProjParams(c.ffn_dim, c.hidden_size, name="fc2")()
         h = None
-        if jax.default_backend() == "tpu" and not _os.environ.get(
-                "IDVS_NO_FMLP"):
+        if fused_tail_gates()[0]:
             from ..ops.pallas.mlp import fused_mlp
             h = fused_mlp(hidden, k1.astype(hidden.dtype),
                           b1.astype(hidden.dtype),

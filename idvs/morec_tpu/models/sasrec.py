@@ -88,9 +88,7 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, att_mask, deterministic: bool = True):
-        import os as _o
-
-        from .layers import LNParams, layer_norm
+        from .layers import LNParams, fused_tail_gates, layer_norm
         # post-LN residual MHA (modules.py:52-63). On TPU the output
         # projection + dropout + residual + LN run as one kernel
         # (ops/pallas/mlp.py fused_proj_resln — same epilogue rationale as
@@ -106,41 +104,46 @@ class TransformerBlock(nn.Module):
                             kernel_init=xavier_normal, name="w_1")()
         k2, b2 = ProjParams(4 * self.d_model, self.d_model,
                             kernel_init=xavier_normal, name="w_2")()
-        use_post = (jax.default_backend() == "tpu"
-                    and not _o.environ.get("IDVS_NO_FMLP")
-                    and not _o.environ.get("IDVS_NO_FMLP_POST"))
+        _, use_post = fused_tail_gates()
         p_drop = 0.0 if deterministic else self.drop_rate
+
+        def seed():
+            return jax.random.randint(self.make_rng("dropout"), (1,),
+                                      0, 2 ** 31 - 1, jnp.int32)
+
+        # attention-projection tail; XLA fallback when the kernel declines
+        x1 = None
         if use_post:
-            from ..ops.pallas.mlp import fused_mlp_resln, fused_proj_resln
-            zb = jnp.zeros((self.d_model,), ctx.dtype)
-            seed_a = seed_f = None
-            if p_drop > 0.0:
-                seed_a = jax.random.randint(self.make_rng("dropout"), (1,),
-                                            0, 2 ** 31 - 1, jnp.int32)
-                seed_f = jax.random.randint(self.make_rng("dropout"), (1,),
-                                            0, 2 ** 31 - 1, jnp.int32)
-            x1 = fused_proj_resln(ctx, x, kf.astype(ctx.dtype), zb,
+            from ..ops.pallas.mlp import fused_proj_resln
+            x1 = fused_proj_resln(ctx, x, kf.astype(ctx.dtype),
+                                  jnp.zeros((self.d_model,), ctx.dtype),
                                   ln2=(gm_a, bt_a), eps2=1e-6,
-                                  drop_rate=p_drop, seed=seed_a)
-            if x1 is not None:
-                x2 = fused_mlp_resln(x1, k1.astype(x1.dtype),
-                                     b1.astype(x1.dtype),
-                                     k2.astype(x1.dtype),
-                                     b2.astype(x1.dtype),
-                                     ln2=(gm_f, bt_f), eps2=1e-6,
-                                     drop_rate=p_drop, seed=seed_f,
-                                     act="relu")
-                if x2 is not None:
-                    return x2
-        h = _fence(jnp.dot(ctx, kf.astype(ctx.dtype)))
-        h = nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
-        x = layer_norm(_fence(x + h), gm_a, bt_a, 1e-6)
-        # ReLU FFN, d_inner = 4*d (modules.py:5-17, 86)
-        h = jnp.dot(x, k1.astype(x.dtype)) + b1.astype(x.dtype)
-        h = _fence(nn.relu(h))
-        h = _fence(jnp.dot(h, k2.astype(h.dtype)) + b2.astype(h.dtype))
-        h = nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
-        return layer_norm(_fence(x + h), gm_f, bt_f, 1e-6)
+                                  drop_rate=p_drop,
+                                  seed=seed() if p_drop > 0.0 else None)
+        if x1 is None:
+            h = _fence(jnp.dot(ctx, kf.astype(ctx.dtype)))
+            h = nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
+            x1 = layer_norm(_fence(x + h), gm_a, bt_a, 1e-6)
+        # ReLU FFN tail, d_inner = 4*d (modules.py:5-17, 86) — decided
+        # independently of the projection tail: at large d_model only the
+        # projection epilogue fits VMEM, and discarding its output to fall
+        # back for the whole block would waste the kernel that worked
+        x2 = None
+        if use_post:
+            from ..ops.pallas.mlp import fused_mlp_resln
+            x2 = fused_mlp_resln(x1, k1.astype(x1.dtype),
+                                 b1.astype(x1.dtype), k2.astype(x1.dtype),
+                                 b2.astype(x1.dtype), ln2=(gm_f, bt_f),
+                                 eps2=1e-6, drop_rate=p_drop,
+                                 seed=seed() if p_drop > 0.0 else None,
+                                 act="relu")
+        if x2 is None:
+            h = jnp.dot(x1, k1.astype(x1.dtype)) + b1.astype(x1.dtype)
+            h = _fence(nn.relu(h))
+            h = _fence(jnp.dot(h, k2.astype(h.dtype)) + b2.astype(h.dtype))
+            h = nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
+            x2 = layer_norm(_fence(x1 + h), gm_f, bt_f, 1e-6)
+        return x2
 
 
 class SASRecEncoder(nn.Module):

@@ -282,10 +282,27 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
             interpret=interpret,
         )(x, *args)
 
+    def fwd_only_call(x, *args):
+        # save_h edition's custom_vjp PRIMAL: when nothing differentiates
+        # through the call (eval / catalog encode) skip the (M, F) h
+        # residual write — same kernel body with save_h=False
+        M, C = x.shape
+        blk = pl.BlockSpec((BMf, C), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, eps=eps, ln=ln, save_h=False,
+                              act=act),
+            grid=(M // BMf,),
+            in_specs=[blk] + [const_spec(a.shape) for a in args],
+            out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
+            compiler_params=params,
+            interpret=interpret,
+        )(x, *args)
+
     @jax.custom_vjp
     def mlp(x, *args):
-        out = fwd_call(x, *args)
-        return out[0] if save_h else out
+        return fwd_only_call(x, *args) if save_h else fwd_call(x, *args)
 
     def mlp_fwd(x, *args):
         if save_h:
@@ -336,14 +353,15 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
 # --------------------------------------------------------------------------
 
 
-def _fwd_post_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                     g2_ref, bt2_ref, out_ref, ypre_ref, h_ref, *,
-                     eps2, p, act):
+def _fwd_post_body(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   g2_ref, bt2_ref, out_ref, ypre_ref, h_ref, *,
+                   eps2, p, act):
     if p > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     x = x_ref[...]
     h = _dot(x, w1_ref[...], 1, 0) + b1_ref[...].astype(jnp.float32)
-    h_ref[...] = h.astype(h_ref.dtype)
+    if h_ref is not None:
+        h_ref[...] = h.astype(h_ref.dtype)
     g = _act_f32(h, act).astype(x.dtype)
     y = _dot(g, w2_ref[...], 1, 0) + b2_ref[...].astype(jnp.float32)
     if p > 0.0:
@@ -353,11 +371,33 @@ def _fwd_post_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         y = jnp.where(keep, y / (1.0 - p), jnp.zeros_like(y))
     ypre = y + x.astype(jnp.float32)
     # cast BEFORE the LN stats so forward and backward (which recomputes the
-    # stats from the saved compute-dtype y_pre) see the same values
-    ypre_c = ypre.astype(ypre_ref.dtype)
-    ypre_ref[...] = ypre_c
+    # stats from the saved compute-dtype y_pre) see the same values; the
+    # fwd-only edition keeps the cast so its output is bit-identical
+    ypre_c = ypre.astype(x.dtype)
+    if ypre_ref is not None:
+        ypre_ref[...] = ypre_c
     _, _, out = _ln_f32(ypre_c.astype(jnp.float32), g2_ref, bt2_ref, eps2)
     out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _fwd_post_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     g2_ref, bt2_ref, out_ref, ypre_ref, h_ref, *,
+                     eps2, p, act):
+    _fwd_post_body(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   g2_ref, bt2_ref, out_ref, ypre_ref, h_ref,
+                   eps2=eps2, p=p, act=act)
+
+
+def _fwd_post_only_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                          g2_ref, bt2_ref, out_ref, *, eps2, p, act):
+    """Forward-only edition: no VJP residual outputs. Used as the
+    custom_vjp PRIMAL — when nothing differentiates through the call
+    (eval / catalog encode) HBM sees only x in and ln_out out, instead of
+    paying the (M, C) y_pre + (M, F) h residual writes for grads nobody
+    takes."""
+    _fwd_post_body(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   g2_ref, bt2_ref, out_ref, None, None,
+                   eps2=eps2, p=p, act=act)
 
 
 def _bwd_post_kernel(seed_ref, x_ref, w1_ref, w2_ref, g2_ref, ypre_ref,
@@ -479,6 +519,22 @@ def _build_post(eps2: float, p: float, interpret: bool, BMf: int, BMb: int,
             interpret=interpret,
         )(seed, x, w1, b1, w2, b2, g2, bt2)
 
+    def fwd_only_call(seed, x, w1, b1, w2, b2, g2, bt2):
+        M, C = x.shape
+        blk = pl.BlockSpec((BMf, C), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_fwd_post_only_kernel, eps2=eps2, p=p,
+                              act=act),
+            grid=(M // BMf,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk]
+            + [const_spec(a.shape) for a in (w1, b1, w2, b2, g2, bt2)],
+            out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
+            compiler_params=params,
+            interpret=interpret,
+        )(seed, x, w1, b1, w2, b2, g2, bt2)
+
     def bwd_call(seed, x, w1, w2, g2, ypre, h, dout):
         M, C = x.shape
         F = w1.shape[1]
@@ -508,8 +564,9 @@ def _build_post(eps2: float, p: float, interpret: bool, BMf: int, BMb: int,
 
     @jax.custom_vjp
     def mlp(seed, x, w1, b1, w2, b2, g2, bt2):
-        out, _, _ = fwd_call(seed, x, w1, b1, w2, b2, g2, bt2)
-        return out
+        # primal = fwd-only kernel: runs when nothing differentiates
+        # through the call (eval); training traces mlp_fwd instead
+        return fwd_only_call(seed, x, w1, b1, w2, b2, g2, bt2)
 
     def mlp_fwd(seed, x, w1, b1, w2, b2, g2, bt2):
         out, ypre, h = fwd_call(seed, x, w1, b1, w2, b2, g2, bt2)
@@ -556,10 +613,15 @@ def fused_mlp_resln(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     M = x2.shape[0]
     pad = (-M) % max(BMf, BMb)
     if pad:
-        # padded rows: y_pre = 0 row, LN stats finite (rstd = 1/sqrt(eps)),
-        # dout rows are zero-padded by the VJP -> all grads contributions 0
+        # padded x rows are zeros but their OUTPUT rows are not (b1/b2 make
+        # y_pre nonzero): correctness rests on the VJP zero-padding dout, so
+        # every padded row's grad contribution is 0, and on slicing the
+        # primal back to M rows below
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
     if seed is None:
+        assert drop_rate == 0.0, \
+            "fused_mlp_resln: drop_rate > 0 requires a seed (a (1,) int32); " \
+            "seed=None would reuse the identical mask every call"
         seed = jnp.zeros((1,), jnp.int32)
     assert act in ("gelu", "relu", "quick_gelu"), act
     out = _build_post(float(eps2), float(drop_rate), bool(interpret),
@@ -583,8 +645,8 @@ def fused_mlp_resln(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
 # --------------------------------------------------------------------------
 
 
-def _fwd_proj_kernel(seed_ref, x_ref, res_ref, w_ref, b_ref, g2_ref, bt2_ref,
-                     out_ref, ypre_ref, *, eps2, p):
+def _fwd_proj_body(seed_ref, x_ref, res_ref, w_ref, b_ref, g2_ref, bt2_ref,
+                   out_ref, ypre_ref, *, eps2, p):
     if p > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     y = _dot(x_ref[...], w_ref[...], 1, 0) + b_ref[...].astype(jnp.float32)
@@ -594,10 +656,25 @@ def _fwd_proj_kernel(seed_ref, x_ref, res_ref, w_ref, b_ref, g2_ref, bt2_ref,
         keep = pltpu.bitcast(bits, jnp.uint32) >= thresh
         y = jnp.where(keep, y / (1.0 - p), jnp.zeros_like(y))
     ypre = y + res_ref[...].astype(jnp.float32)
-    ypre_c = ypre.astype(ypre_ref.dtype)
-    ypre_ref[...] = ypre_c
+    ypre_c = ypre.astype(x_ref.dtype)
+    if ypre_ref is not None:
+        ypre_ref[...] = ypre_c
     _, _, out = _ln_f32(ypre_c.astype(jnp.float32), g2_ref, bt2_ref, eps2)
     out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _fwd_proj_kernel(seed_ref, x_ref, res_ref, w_ref, b_ref, g2_ref, bt2_ref,
+                     out_ref, ypre_ref, *, eps2, p):
+    _fwd_proj_body(seed_ref, x_ref, res_ref, w_ref, b_ref, g2_ref, bt2_ref,
+                   out_ref, ypre_ref, eps2=eps2, p=p)
+
+
+def _fwd_proj_only_kernel(seed_ref, x_ref, res_ref, w_ref, b_ref, g2_ref,
+                          bt2_ref, out_ref, *, eps2, p):
+    """Forward-only edition (custom_vjp primal): skips the (M, C) y_pre
+    residual write when nothing differentiates through the call."""
+    _fwd_proj_body(seed_ref, x_ref, res_ref, w_ref, b_ref, g2_ref, bt2_ref,
+                   out_ref, None, eps2=eps2, p=p)
 
 
 def _bwd_proj_kernel(seed_ref, x_ref, w_ref, g2_ref, ypre_ref, dout_ref,
@@ -684,6 +761,21 @@ def _build_proj(eps2: float, p: float, interpret: bool, BMf: int, BMb: int):
             interpret=interpret,
         )(seed, x, res, w, b, g2, bt2)
 
+    def fwd_only_call(seed, x, res, w, b, g2, bt2):
+        M, C = x.shape
+        blk = pl.BlockSpec((BMf, C), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_fwd_proj_only_kernel, eps2=eps2, p=p),
+            grid=(M // BMf,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk, blk]
+            + [const_spec(a.shape) for a in (w, b, g2, bt2)],
+            out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
+            compiler_params=params,
+            interpret=interpret,
+        )(seed, x, res, w, b, g2, bt2)
+
     def bwd_call(seed, x, w, g2, ypre, dout):
         M, C = x.shape
         blk = pl.BlockSpec((BMb, C), lambda i: (i, 0),
@@ -707,8 +799,8 @@ def _build_proj(eps2: float, p: float, interpret: bool, BMf: int, BMb: int):
 
     @jax.custom_vjp
     def proj(seed, x, res, w, b, g2, bt2):
-        out, _ = fwd_call(seed, x, res, w, b, g2, bt2)
-        return out
+        # primal = fwd-only kernel (eval); training traces proj_fwd
+        return fwd_only_call(seed, x, res, w, b, g2, bt2)
 
     def proj_fwd(seed, x, res, w, b, g2, bt2):
         out, ypre = fwd_call(seed, x, res, w, b, g2, bt2)
@@ -748,9 +840,15 @@ def fused_proj_resln(x: jnp.ndarray, res: jnp.ndarray, w: jnp.ndarray,
     M = x2.shape[0]
     pad = (-M) % max(BMf, BMb)
     if pad:
+        # padded x/res rows are zeros but their OUTPUT rows are not (the
+        # bias b makes y_pre nonzero): correctness rests on the VJP
+        # zero-padding dout and on slicing the primal back to M rows below
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
         r2 = jnp.pad(r2, ((0, pad), (0, 0)))
     if seed is None:
+        assert drop_rate == 0.0, \
+            "fused_proj_resln: drop_rate > 0 requires a seed (a (1,) " \
+            "int32); seed=None would reuse the identical mask every call"
         seed = jnp.zeros((1,), jnp.int32)
     out = _build_proj(float(eps2), float(drop_rate), bool(interpret),
                       BMf, BMb)(

@@ -271,3 +271,40 @@ def test_epilogue_blocks_equal_under_dropout():
         # drop 0 keeps the independently-optimal picks
         assert _align_blocks(pick, 0.0) == pick
     assert _align_blocks(None, 0.1) is None
+
+
+def test_primal_fwd_only_editions_match_grad_path():
+    """The custom_vjp PRIMALS (taken when nothing differentiates through
+    the call — eval / catalog encode) run fwd-only kernels that skip the
+    VJP residual writes (y_pre / h). Pin: primal output == the output the
+    differentiated path produces, exactly, for all three editions."""
+    from idvs.morec_tpu.ops.pallas.mlp import (fused_mlp, fused_mlp_resln,
+                                               fused_proj_resln)
+
+    rng = np.random.default_rng(23)
+    C, F, M = 64, 256, 40
+    x = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    res = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    w1, b1, w2, b2 = _params(rng, C, F)
+    gm = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    bt = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+
+    def by_both_paths(f):
+        primal = f(x)                                   # fwd-only kernel
+        (_, vjp_out), _ = jax.vjp(lambda t: (jnp.sum(f(t)), f(t)), x)
+        return primal, vjp_out                          # residual-emitting
+
+    p, v = by_both_paths(lambda t: fused_mlp(
+        t, w1, b1, w2, b2, save_h=True, interpret=True))
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(v))
+
+    p, v = by_both_paths(lambda t: fused_mlp_resln(
+        t, w1, b1, w2, b2, ln2=(gm, bt), eps2=EPS, drop_rate=0.0,
+        interpret=True))
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(v))
+
+    w = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.05)
+    p, v = by_both_paths(lambda t: fused_proj_resln(
+        t, res, w, b2[:C], ln2=(gm, bt), eps2=EPS, drop_rate=0.0,
+        interpret=True))
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(v))

@@ -124,3 +124,33 @@ def test_fusion_towers():
                             method=RecModel.item_embs)
         out = model.apply(params, ids, cached, True, method=RecModel.item_embs)
         assert out.shape == (3, 16)
+
+
+def test_transformer_block_mixed_tail_fallback(monkeypatch):
+    """At large d_model only the projection epilogue fits VMEM
+    (fused_proj_resln succeeds, fused_mlp_resln declines). The block must
+    keep the fused projection tail's output and fall back ONLY for the FFN
+    — not discard it and recompute the whole block (the pre-fix behavior).
+    Simulated off-TPU: gates forced open (kernels run in interpret mode,
+    drop 0 exact) with the FFN edition forced to decline."""
+    from idvs.morec_tpu.models import layers as L
+    from idvs.morec_tpu.ops.pallas import mlp as M
+    from idvs.morec_tpu.models.sasrec import TransformerBlock
+
+    rng = np.random.default_rng(5)
+    B, T, D = 2, 6, 16
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    lm = jnp.ones((B, T), jnp.float32)
+    mask = causal_additive_mask(lm)
+    blk = TransformerBlock(d_model=D, n_heads=2, drop_rate=0.0)
+    params = blk.init(jax.random.PRNGKey(0), x, mask, True)
+
+    want = blk.apply(params, x, mask, True)   # gates closed: full XLA path
+
+    monkeypatch.setattr(L, "fused_tail_gates", lambda override=None:
+                        (True, True))
+    monkeypatch.setattr(M, "fused_mlp_resln",
+                        lambda *a, **k: None)   # FFN edition declines
+    got = blk.apply(params, x, mask, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

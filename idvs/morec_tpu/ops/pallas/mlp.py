@@ -619,9 +619,11 @@ def fused_mlp_resln(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
         # primal back to M rows below
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
     if seed is None:
-        assert drop_rate == 0.0, \
-            "fused_mlp_resln: drop_rate > 0 requires a seed (a (1,) int32); " \
-            "seed=None would reuse the identical mask every call"
+        if drop_rate != 0.0:
+            raise ValueError(
+                "fused_mlp_resln: drop_rate > 0 requires a seed (a (1,) "
+                "int32); seed=None would reuse the identical mask every "
+                "call")
         seed = jnp.zeros((1,), jnp.int32)
     assert act in ("gelu", "relu", "quick_gelu"), act
     out = _build_post(float(eps2), float(drop_rate), bool(interpret),
@@ -846,9 +848,11 @@ def fused_proj_resln(x: jnp.ndarray, res: jnp.ndarray, w: jnp.ndarray,
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
         r2 = jnp.pad(r2, ((0, pad), (0, 0)))
     if seed is None:
-        assert drop_rate == 0.0, \
-            "fused_proj_resln: drop_rate > 0 requires a seed (a (1,) " \
-            "int32); seed=None would reuse the identical mask every call"
+        if drop_rate != 0.0:
+            raise ValueError(
+                "fused_proj_resln: drop_rate > 0 requires a seed (a (1,) "
+                "int32); seed=None would reuse the identical mask every "
+                "call")
         seed = jnp.zeros((1,), jnp.int32)
     out = _build_proj(float(eps2), float(drop_rate), bool(interpret),
                       BMf, BMb)(

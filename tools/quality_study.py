@@ -22,6 +22,7 @@ PARITY.md section "Quality evidence".
 import argparse
 import json
 import os
+import shutil
 import sys
 import tempfile
 
@@ -98,9 +99,17 @@ def make_vision_dataset(base, seed, n_items=600, n_groups=12, n_users=1500,
     group color AND an item-unique 16-bit block pattern; uninformative ones
     carry the group color plus a noise pattern shared across ~1/64 of the
     catalog (uncorrelated with behavior — same tie-breaking role as the text
-    arm's noise token)."""
+    arm's noise token).
+
+    Writes into a sibling temp dir and renames into place atomically, so an
+    interrupted run never leaves a partially-written dataset that a rerun's
+    isdir() check would silently reuse."""
     from idvs.morec_tpu.data.imagestore import write_mkv
     rng = np.random.default_rng(seed)
+    final = base
+    base = final.rstrip(os.sep) + ".tmp"
+    if os.path.isdir(base):
+        shutil.rmtree(base)
     os.makedirs(base, exist_ok=True)
     per = n_items // n_groups
 
@@ -124,6 +133,7 @@ def make_vision_dataset(base, seed, n_items=600, n_groups=12, n_users=1500,
             L = int(rng2.integers(6, 12))
             items = rng2.choice(members, size=min(L, per), replace=False, p=w)
             f.write(f"u{u}\t" + " ".join(f"v{k}" for k in items) + "\n")
+    os.rename(base, final)
 
 
 def swin_study_dir(root):

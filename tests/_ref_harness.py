@@ -47,11 +47,12 @@ def load_ref_metrics(variant_rel: str, tag: str):
 _REF_TOPLEVEL = ("parameters", "model", "data_utils")
 
 
-def load_ref_run(variant_rel: str, tag: str):
-    """Import <variant>/run.py — the reference's real train orchestrator
-    (inbatch_sasrec_e2e_text/run.py:26-314) — as an isolated module.
+def load_ref_run(variant_rel: str, tag: str, filename: str = "run.py"):
+    """Import <variant>/<filename> (default run.py — the reference's real
+    train orchestrator, inbatch_sasrec_e2e_text/run.py:26-314; pass
+    'run_test.py' for the test orchestrator) as an isolated module.
 
-    run.py imports its siblings by bare name ('from model import Model'),
+    The file imports its siblings by bare name ('from model import Model'),
     so the variant dir goes on sys.path for the import and the polluted
     top-level names are purged afterwards (they'd collide across variants).
     """
@@ -63,7 +64,7 @@ def load_ref_run(variant_rel: str, tag: str):
     sys.path.insert(0, d)
     try:
         spec = importlib.util.spec_from_file_location(
-            f"_ref_run_{tag}", os.path.join(d, "run.py"))
+            f"_ref_run_{tag}", os.path.join(d, filename))
         mod = importlib.util.module_from_spec(spec)
         sys.modules[f"_ref_run_{tag}"] = mod
         spec.loader.exec_module(mod)

@@ -25,19 +25,53 @@ import jax
 import jax.numpy as jnp
 
 
+def _needs_gather(x) -> bool:
+    """True for arrays a single process cannot device_get — e.g. the
+    --zero1_table AdamW moments stored sharded across a multi-process pod
+    (train/state.py shard_table_opt_state)."""
+    return isinstance(x, jax.Array) and not x.is_fully_addressable
+
+
+def _replicate_collective(x: jax.Array) -> jax.Array:
+    """All-gather a sharded array to full replication over its own mesh (a
+    GSPMD collective — every process of the mesh must call this)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = x.sharding.mesh
+    return jax.jit(lambda a: a,
+                   out_shardings=NamedSharding(mesh, PartitionSpec()))(x)
+
+
+def host_copy(tree):
+    """device_get that survives cross-process-sharded leaves.
+
+    On a multi-process pod, sharded leaves are first all-gathered (a
+    collective: EVERY process must reach this call, even though only the
+    coordinator writes the file). Single-process sharded arrays are fully
+    addressable and take the plain device_get path."""
+    return jax.tree.map(
+        lambda x: jax.device_get(
+            _replicate_collective(x) if _needs_gather(x) else x), tree)
+
+
 def save_checkpoint(model_dir: str, epoch: int, state, extra: Optional[Dict] = None,
                     log=None) -> str:
-    os.makedirs(model_dir, exist_ok=True)
+    """Write epoch-{N}.ckpt. Call from ALL processes: the sharded-state
+    gather inside is collective; only process 0 writes the file
+    (rank-0-only save semantics, reference run.py:265-267)."""
     path = os.path.join(model_dir, f"epoch-{epoch}.ckpt")
     payload = {
-        "params": flax.serialization.to_state_dict(jax.device_get(state.params)),
-        "opt_state": flax.serialization.to_state_dict(jax.device_get(state.opt_state)),
+        "params": flax.serialization.to_state_dict(host_copy(state.params)),
+        "opt_state": flax.serialization.to_state_dict(host_copy(state.opt_state)),
         "dropout_rng": jax.device_get(state.dropout_rng),
         "step": jax.device_get(state.step),
         "epoch": epoch,
         "scaler_state": {},
         "extra": extra or {},
     }
+    if jax.process_index() != 0:
+        return path   # participated in the gather; rank 0 owns the write
+    os.makedirs(model_dir, exist_ok=True)
     with open(path, "wb") as f:
         f.write(flax.serialization.msgpack_serialize(payload))
     if log:

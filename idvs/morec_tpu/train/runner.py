@@ -556,9 +556,11 @@ class Trainer:
                 if hit > max_eval_value:
                     max_eval_value, max_epoch = hit, now_epoch
                     early_stop_count = 0
-                    if is_coordinator():   # rank-0-only saves (run.py:265-267)
-                        save_checkpoint(self.model_dir, now_epoch, self.state,
-                                        {"best": max_eval_value}, self.log)
+                    # all processes call (the sharded-opt-state gather inside
+                    # is collective); only rank 0 writes (run.py:265-267)
+                    save_checkpoint(self.model_dir, now_epoch, self.state,
+                                    {"best": max_eval_value},
+                                    self.log if is_coordinator() else None)
                 else:
                     early_stop_count += 1
                     if early_stop_count > cfg.early_stop_gap:

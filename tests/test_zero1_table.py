@@ -16,6 +16,8 @@ Covers the IDRec flagship (large id_embedding, the measured HBM-floor tensor,
 PARITY.md "IDRec bound") and the odd-row-count case (GSPMD internal padding).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -167,3 +169,106 @@ def test_zero1_moments_actually_sharded():
     # params stay replicated for the next forward
     p = state.params["params"]["id_embedding"]["embedding"]
     assert all(s.data.shape == p.shape for s in p.addressable_shards)
+
+
+def test_zero1_checkpoint_save_resume(tmp_path, monkeypatch):
+    """VERDICT r4 item 2: checkpointing a --zero1_table run whose moments
+    are ACTUALLY sharded must (a) write correct bytes through the
+    collective-gather path, and (b) resume to the same trajectory as an
+    uninterrupted run.
+
+    The 8 virtual devices live in one process, so sharded arrays here are
+    fully addressable; _needs_gather is forced to treat them as a
+    multi-process pod would, so the save exercises the real
+    _replicate_collective all-gather program."""
+    from idvs.morec_tpu.train import checkpoint as ckpt_mod
+    from idvs.morec_tpu.train.checkpoint import (load_checkpoint,
+                                                 save_checkpoint)
+
+    monkeypatch.setattr(
+        ckpt_mod, "_needs_gather",
+        lambda x: isinstance(x, jax.Array)
+        and len(getattr(x, "sharding", None).device_set) > 1
+        if hasattr(x, "sharding") else False)
+
+    item_num = 4095
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    cfg = Config(item_tower="id", loss="inbatch_ce", max_seq_len=L,
+                 embedding_dim=D, batch_size=B_PER, num_attention_heads=2,
+                 transformer_block=1, drop_rate=0.0, lr=1e-3, l2_weight=0.01,
+                 compute_dtype="float32", zero1_table=True)
+    model = make_model(cfg, item_num=item_num)
+    S = L + 1
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((2, S), jnp.int32),
+                        None, jnp.ones((2, L), jnp.float32))
+    pop = np.full(item_num + 1, 1.0 / item_num); pop[0] = 1.0
+    log_pop = jnp.asarray(np.log(pop), jnp.float32)
+    tx = make_optimizer(cfg)
+    params = replicate(mesh, params)
+    opt_state = shard_table_opt_state(tx.init(params["params"]), mesh)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=opt_state, dropout_rng=jax.random.PRNGKey(1))
+    step = make_train_step(model, cfg, tx, mesh, log_pop=log_pop)
+
+    rng = np.random.default_rng(7)
+    batches = []
+    for _ in range(4):
+        ids = rng.integers(1, item_num + 1, size=(16, S)).astype(np.int32)
+        batches.append(shard_batch(mesh, {
+            "ids": jnp.asarray(ids),
+            "log_mask": jnp.ones((16, L), jnp.float32)}))
+
+    state, _ = step(state, batches[0])
+    state, _ = step(state, batches[1])
+    mu = state.opt_state[0].mu["id_embedding"]["embedding"]
+    assert {s.data.shape[0] for s in mu.addressable_shards} \
+        == {(item_num + 1) // 8}   # the save really sees SHARDED moments
+
+    path = save_checkpoint(str(tmp_path), 1, state)
+    assert path.endswith("epoch-1.ckpt")
+
+    # uninterrupted continuation
+    cont = state
+    for b in batches[2:]:
+        cont, loss_direct = step(cont, b)
+
+    # resumed continuation: fresh template, sharded opt template, load
+    params2 = replicate(mesh, model.init(
+        jax.random.PRNGKey(9), jnp.ones((2, S), jnp.int32), None,
+        jnp.ones((2, L), jnp.float32)))
+    opt2 = shard_table_opt_state(tx.init(params2["params"]), mesh)
+    state2 = TrainState(step=jnp.zeros((), jnp.int32), params=params2,
+                        opt_state=opt2, dropout_rng=jax.random.PRNGKey(2))
+    state2, payload = load_checkpoint(path, state2)
+    assert payload["epoch"] == 1
+    for b in batches[2:]:
+        state2, loss_resumed = step(state2, b)
+
+    np.testing.assert_allclose(float(loss_resumed), float(loss_direct),
+                               rtol=0, atol=1e-6)
+    for la, lb in zip(jax.tree.leaves(jax.device_get(cont.params)),
+                      jax.tree.leaves(jax.device_get(state2.params))):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_save_checkpoint_nonzero_rank_does_not_write(tmp_path, monkeypatch):
+    """process_index != 0: participates (returns the path) but writes no
+    file — the reference's rank-0-only save, run.py:265-267."""
+    from idvs.morec_tpu.train.checkpoint import save_checkpoint
+
+    mesh = make_mesh(jax.devices("cpu")[:1])
+    cfg = Config(item_tower="id", max_seq_len=L, embedding_dim=D,
+                 compute_dtype="float32")
+    model = make_model(cfg, item_num=50)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((2, L + 1), jnp.int32),
+                        None, jnp.ones((2, L), jnp.float32))
+    tx = make_optimizer(cfg)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params["params"]),
+                       dropout_rng=jax.random.PRNGKey(1))
+    monkeypatch.setattr(jax, "process_index", lambda *a, **k: 1)
+    out = tmp_path / "rank1"
+    path = save_checkpoint(str(out), 2, state)
+    assert path.endswith("epoch-2.ckpt")
+    assert not os.path.exists(path) and not out.exists()

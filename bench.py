@@ -328,5 +328,44 @@ def main():
     print(json.dumps(out))
 
 
+def main_all():
+    """Run EVERY bench config, one JSON line each (VERDICT r4 item 7: all
+    five numbers the docs quote, driver-reproducible in one invocation).
+
+    Each config runs in its own subprocess: the geometry globals are
+    selected per-process by BENCH_CONFIG, and process isolation keeps the
+    tunneled platform's post-execution H2D degradation (PARITY.md) of one
+    config from contaminating the next. Optional BENCH_ALL_OUT=<path>
+    additionally writes the lines to a file."""
+    import subprocess
+    import sys
+
+    lines = []
+    for config in ("text_morec", "text_morec_uniform", "idrec",
+                   "vision_morec", "vision_morec_zipf"):
+        env = dict(os.environ)
+        env["BENCH_CONFIG"] = config
+        env.pop("BENCH_ALL", None)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True)
+        out_lines = [ln for ln in r.stdout.strip().splitlines()
+                     if ln.startswith("{")]
+        if r.returncode != 0 or not out_lines:
+            line = json.dumps({"metric": config, "error":
+                               (r.stderr or "no output").strip()[-400:]})
+        else:
+            line = out_lines[-1]
+        print(line, flush=True)
+        lines.append(line)
+    path = os.environ.get("BENCH_ALL_OUT")
+    if path:
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--all" in sys.argv or os.environ.get("BENCH_ALL"):
+        main_all()
+    else:
+        main()

@@ -118,21 +118,57 @@ class MKVStore:
         self._f.close()
 
 
+class CompatLMDBImage:
+    """Field-compatible stand-in for the reference's LMDB_Image
+    (inbatch_sasrec_e2e_vision/data_utils/dataset.py:16-25 and
+    dataset/HM/build_lmdb_hm.py:13-22): channels, size, image (raw bytes)."""
+
+    def get_image(self) -> np.ndarray:
+        image = np.frombuffer(self.image, dtype=np.uint8)
+        return image.reshape(*self.size, self.channels)
+
+
+def loads_lmdb_record(raw: bytes) -> np.ndarray:
+    """Unpickle one reference LMDB record -> (H, W, C) uint8.
+
+    The reference pickles LMDB_Image instances from whatever module built
+    the DB (running build_lmdb_hm.py as a script pickles them as
+    '__main__.LMDB_Image'), so a plain pickle.loads cannot resolve the
+    class here. Any class named LMDB_Image maps to the field-compatible
+    CompatLMDBImage instead."""
+    import io
+    import pickle
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if name == "LMDB_Image":
+                return CompatLMDBImage
+            return super().find_class(module, name)
+
+    return _Unpickler(io.BytesIO(raw)).load().get_image()
+
+
 class LMDBStore:
-    """Reads the reference's original LMDB databases (pickled LMDB_Image),
-    available only when the lmdb package is importable."""
+    """Reads the reference's original LMDB databases (pickled LMDB_Image,
+    built by dataset/HM/build_lmdb_hm.py:25-70), available only when the
+    lmdb package is importable."""
 
     def __init__(self, path: str):
-        import lmdb
-        import pickle
-        self._pickle = pickle
+        try:
+            import lmdb
+        except ImportError as e:
+            raise ImportError(
+                f"reading the reference LMDB store at {path!r} requires the "
+                f"'lmdb' package, which is not installed; either install "
+                f"lmdb, or convert the store once with "
+                f"tools/build_store_hm.py (MKV needs no extra packages)"
+            ) from e
         self.env = lmdb.open(path, subdir=os.path.isdir(path), readonly=True,
                              lock=False, readahead=False, meminit=False)
 
     def get(self, key: bytes) -> np.ndarray:
         with self.env.begin() as txn:
-            obj = self._pickle.loads(txn.get(key))
-        return obj.get_image()
+            return loads_lmdb_record(txn.get(key))
 
 
 def open_store(path: str):

@@ -176,12 +176,14 @@ def bert_tiny_dir(root):
 
 
 def run_one(root, data_dir, tower, seed, pretrained_dir=None, dedup=False,
-            drop_rate=0.1, epochs=8, loss="inbatch_ce", modality="text"):
+            drop_rate=0.1, epochs=8, loss="inbatch_ce", modality="text",
+            user_tower="sasrec"):
     from idvs.morec_tpu.run import main as run_main
     cwd = os.getcwd()
-    rundir = os.path.join(root, "run_{}_{}_{}_{}{}".format(
+    rundir = os.path.join(root, "run_{}_{}_{}_{}{}{}".format(
         os.path.basename(data_dir), tower, seed, int(dedup),
-        "" if loss == "inbatch_ce" else "_" + loss))
+        "" if loss == "inbatch_ce" else "_" + loss,
+        "" if user_tower == "sasrec" else "_" + user_tower))
     os.makedirs(rundir, exist_ok=True)
     cache = os.path.join(rundir, "result.json")
     if os.path.exists(cache):
@@ -200,6 +202,14 @@ def run_one(root, data_dir, tower, seed, pretrained_dir=None, dedup=False,
             "--eval_batch_size", "256", "--seed", str(12345 + seed),
             "--mode", "train", "--loss", loss,
         ]
+        if user_tower != "sasrec":
+            # DSSM two-tower (bce_text/main-end2end(DSSM)/model/model.py:
+            # 7-43): user-id embedding + MLP vs the item tower, pointwise
+            # BCE over neg_num sampled negatives (parameters.py default 1,
+            # dnn_layers from its train grid [0, 2, 4] — 2 here so the MLP
+            # path is exercised)
+            args += ["--user_tower", user_tower, "--neg_num", "1",
+                     "--dnn_layers", "2"]
         if tower == "modal" and modality == "vision":
             # random-init tiny-Swin proxy: full-rate fine-tune lr like the
             # text proxy (a pretrained encoder would use the reference's low
@@ -241,7 +251,8 @@ def main():
     ap.add_argument("--out", default="")
     ap.add_argument("--workdir", default="")
     ap.add_argument("--arm", default="all",
-                    choices=["all", "directional", "dedup", "bce", "vision"])
+                    choices=["all", "directional", "dedup", "bce", "vision",
+                             "dssm"])
     ap.add_argument("--tpu", action="store_true",
                     help="run on the default backend instead of forced CPU "
                          "— exercises the fused Pallas kernels in a real "
@@ -306,6 +317,32 @@ def main():
             print(f"[bce] seed {s}: IDRec {id_b[-1]:.2f}  MoRec {mo_b[-1]:.2f}")
         results["bce"] = {"idrec_hr10": mean_std(id_b),
                           "morec_hr10": mean_std(mo_b)}
+
+    # DSSM user tower (round 5, VERDICT r4 item 5): the one reference model
+    # family the study had not examined — user-id-embedding + MLP two-tower
+    # with pointwise BCE (bce_text/main-end2end(DSSM)). Both catalogs, so
+    # the MoRec-vs-IDRec direction AND the content-causality ablation are
+    # measured for this tower too.
+    if args.arm in ("all", "dssm"):
+        for informative in (True, False):
+            tag = ("dssm_informative" if informative
+                   else "dssm_uninformative")
+            data_dir = os.path.join(
+                root, "DATA_informative" if informative
+                else "DATA_uninformative")
+            if not os.path.isdir(data_dir):
+                make_dataset(data_dir, seed=100, informative=informative)
+            id_d, mo_d = [], []
+            for s in range(args.seeds):
+                id_d.append(run_one(root, data_dir, "id", s, loss="bce",
+                                    user_tower="dssm", epochs=16))
+                mo_d.append(run_one(root, data_dir, "modal", s, loss="bce",
+                                    user_tower="dssm", epochs=16,
+                                    pretrained_dir=bert_dir))
+                print(f"[{tag}] seed {s}: IDRec {id_d[-1]:.2f}  "
+                      f"MoRec {mo_d[-1]:.2f}")
+            results[tag] = {"idrec_hr10": mean_std(id_d),
+                            "morec_hr10": mean_std(mo_d)}
 
     # vision modality (round 4): the directional study's vision twin — item
     # content is an image in the MKV store through the real vision pipeline

@@ -287,6 +287,32 @@ class SwinBlock(nn.Module):
         p_hid = 0.0 if deterministic else c.hidden_dropout_prob
         if _os.environ.get("IDVS_SWIN_NO_MLP"):
             return x          # ablation: measure the MLP's in-context cost
+        if (use_fused and p_hid == 0.0
+                and not _os.environ.get("IDVS_SWIN_NO_FMLP")
+                and not _os.environ.get("IDVS_SWIN_NO_RESEPI")):
+            # residual-epilogue edition (round 5): the whole pre-LN MLP
+            # sub-block INCLUDING `x + DropPath(...)` in one kernel — the
+            # separate XLA elementwise pass over (M, C) disappears. The
+            # DropPath mask is drawn here per image (same semantics as the
+            # DropPath module: one Bernoulli per sample, scaled by 1/keep)
+            # and enters the kernel as a per-row scale; draw ORDER within
+            # the 'dropout' stream differs from the module path, like every
+            # fused-tail edition (PARITY r4 item 7 contract).
+            from ..ops.pallas.mlp import fused_mlp_res
+            if self.drop_path > 0.0 and not deterministic:
+                keep = 1.0 - self.drop_path
+                mask = jax.random.bernoulli(self.make_rng("dropout"), keep,
+                                            (B, 1))
+                scale = mask.astype(jnp.float32) / keep
+            else:
+                scale = jnp.ones((B, 1), jnp.float32)
+            scale = jnp.broadcast_to(scale, (B, L)).reshape(-1)
+            out = fused_mlp_res(x, scale, k1.astype(x.dtype),
+                                b1.astype(x.dtype), k2.astype(x.dtype),
+                                b2.astype(x.dtype), ln=(gm, bt),
+                                eps=c.layer_norm_eps, interpret=interp)
+            if out is not None:
+                return out
         h = None
         if (use_fused and p_hid == 0.0
                 and not _os.environ.get("IDVS_SWIN_NO_FMLP")):

@@ -101,9 +101,15 @@ def _dot(a, b, ca, cb):
                                preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(*refs, eps, ln, save_h, act):
+def _fwd_kernel(*refs, eps, ln, save_h, act, res=False):
     if save_h:
         *refs, h_ref = refs
+    s_ref = None
+    if res:
+        # residual epilogue: out = x + s * mlp(ln(x)) with s a per-row
+        # scale (the DropPath keep-mask/keep, Swin pre-LN tails)
+        x_ref, s_ref, *refs = refs
+        refs = [x_ref] + refs
     if ln:
         x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref = refs
         x = x_ref[...].astype(jnp.float32)
@@ -117,11 +123,17 @@ def _fwd_kernel(*refs, eps, ln, save_h, act):
         h_ref[...] = h.astype(h_ref.dtype)
     g = _act_f32(h, act).astype(x_ref.dtype)
     y = _dot(g, w2_ref[...], 1, 0) + b2_ref[...].astype(jnp.float32)
+    if res:
+        y = x_ref[...].astype(jnp.float32) + s_ref[...] * y
     out_ref[...] = y.astype(out_ref.dtype)
 
 
-def _bwd_kernel(*refs, eps, ln, save_h, act):
+def _bwd_kernel(*refs, eps, ln, save_h, act, res=False):
     h_ref = None
+    s_ref = None
+    if res:
+        x_ref, s_ref, *rest = refs
+        refs = (x_ref,) + tuple(rest)
     if save_h:
         # h rides between dout and the outputs in the input list
         if ln:
@@ -163,6 +175,11 @@ def _bwd_kernel(*refs, eps, ln, save_h, act):
 
     # --- backward ---
     dy = dout_ref[...]
+    if res:
+        # out = x + s*y: the MLP chain sees s*dout; the residual branch
+        # adds the raw dout to dx at the end
+        dy = (dout_ref[...].astype(jnp.float32)
+              * s_ref[...]).astype(dout_ref.dtype)
     dw2_ref[...] += _dot(g, dy, 0, 0)
     db2_ref[...] += jnp.sum(dy, axis=0,
                             dtype=jnp.float32).reshape(db2_ref.shape)
@@ -181,8 +198,12 @@ def _bwd_kernel(*refs, eps, ln, save_h, act):
         m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
         m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
         dx = rstd * (dxhat - m1 - xhat * m2)
+        if res:
+            dx = dx + dout_ref[...].astype(jnp.float32)
         dx_ref[...] = dx.astype(dx_ref.dtype)
     else:
+        if res:
+            dxn = dxn + dout_ref[...].astype(jnp.float32)
         dx_ref[...] = dxn.astype(dx_ref.dtype)
 
 
@@ -215,8 +236,9 @@ def _pick_block_mlp(C: int, F: int, itemsize: int, ln: bool, save_h: bool):
 
 @functools.lru_cache(maxsize=None)
 def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
-           save_h: bool, act: str):
+           save_h: bool, act: str, res: bool = False):
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
+    assert not (res and save_h), "res edition keeps the recompute geometry"
 
     def const_spec(shape):
         nd = len(shape)
@@ -226,23 +248,29 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
     def _F(args):
         return (args[2] if ln else args[0]).shape[1]
 
+    def _sblk(BM):
+        return pl.BlockSpec((BM, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
     def fwd_call(x, *args):
+        # res: args = (s, [gamma, beta,] w1, b1, w2, b2)
         M, C = x.shape
         blk = pl.BlockSpec((BMf, C), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
+        head, consts = ([blk, _sblk(BMf)], args[1:]) if res else ([blk], args)
         out_specs = blk
         out_shape = jax.ShapeDtypeStruct((M, C), x.dtype)
         if save_h:
-            blkF = pl.BlockSpec((BMf, _F(args)), lambda i: (i, 0),
+            blkF = pl.BlockSpec((BMf, _F(consts)), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
             out_specs = [blk, blkF]
             out_shape = [out_shape,
-                         jax.ShapeDtypeStruct((M, _F(args)), x.dtype)]
+                         jax.ShapeDtypeStruct((M, _F(consts)), x.dtype)]
         return pl.pallas_call(
             functools.partial(_fwd_kernel, eps=eps, ln=ln, save_h=save_h,
-                              act=act),
+                              act=act, res=res),
             grid=(M // BMf,),
-            in_specs=[blk] + [const_spec(a.shape) for a in args],
+            in_specs=head + [const_spec(a.shape) for a in consts],
             out_specs=out_specs,
             out_shape=out_shape,
             compiler_params=params,
@@ -250,11 +278,16 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
         )(x, *args)
 
     def bwd_call(x, *args):
-        # args = ([gamma, beta,] w1, b1, w2, [h,] dout)
+        # args = ([s,] [gamma, beta,] w1, b1, w2, [h,] dout)
         M, C = x.shape
-        F = _F(args)
+        head, consts = ([pl.BlockSpec((BMb, C), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM), _sblk(BMb)],
+                        args[1:]) if res else (None, args)
+        F = _F(consts)
         blk = pl.BlockSpec((BMb, C), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
+        if head is None:
+            head = [blk]
         blkF = pl.BlockSpec((BMb, F), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
         out_specs = [blk]
@@ -268,12 +301,12 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
                       jax.ShapeDtypeStruct((1, F), jnp.float32),
                       jax.ShapeDtypeStruct((F, C), jnp.float32),
                       jax.ShapeDtypeStruct((1, C), jnp.float32)]
-        n_const = len(args) - (2 if save_h else 1)
-        in_specs = ([blk] + [const_spec(a.shape) for a in args[:n_const]]
+        n_const = len(consts) - (2 if save_h else 1)
+        in_specs = (head + [const_spec(a.shape) for a in consts[:n_const]]
                     + ([blkF] if save_h else []) + [blk])
         return pl.pallas_call(
             functools.partial(_bwd_kernel, eps=eps, ln=ln, save_h=save_h,
-                              act=act),
+                              act=act, res=res),
             grid=(M // BMb,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -310,19 +343,25 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
             return y, (x,) + args[:-1] + (h,)          # b2 not needed in bwd
         return fwd_call(x, *args), (x,) + args[:-1]
 
-    def mlp_bwd(res, dout):
-        # res = (x, [gamma, beta,] w1, b1, w2[, h])
-        outs = bwd_call(*res, dout)
+    def mlp_bwd(resids, dout):
+        # resids = (x, [s,] [gamma, beta,] w1, b1, w2[, h])
+        outs = bwd_call(*resids, dout)
+        off = 1 if res else 0
         if ln:
             dx, dgm, dbt, dw1, db1, dw2, db2 = outs
-            x, gm, bt, w1, b1, w2 = res[:6]
-            return (dx, dgm.astype(gm.dtype), dbt.astype(bt.dtype),
-                    dw1.astype(w1.dtype), db1.astype(b1.dtype),
-                    dw2.astype(w2.dtype), db2.astype(w2.dtype))
-        dx, dw1, db1, dw2, db2 = outs
-        x, w1, b1, w2 = res[:4]
-        return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
-                dw2.astype(w2.dtype), db2.astype(w2.dtype))
+            gm, bt, w1, b1, w2 = resids[1 + off:6 + off]
+            grads = (dx, dgm.astype(gm.dtype), dbt.astype(bt.dtype),
+                     dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                     dw2.astype(w2.dtype), db2.astype(w2.dtype))
+        else:
+            dx, dw1, db1, dw2, db2 = outs
+            w1, b1, w2 = resids[1 + off:4 + off]
+            grads = (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                     dw2.astype(w2.dtype), db2.astype(w2.dtype))
+        if res:
+            # s is a DropPath keep-mask — a constant of the step, no grad
+            grads = (grads[0], jnp.zeros_like(resids[1])) + grads[1:]
+        return grads
 
     mlp.defvjp(mlp_fwd, mlp_bwd)
     return mlp
@@ -909,6 +948,50 @@ def fused_mlp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     assert act in ("gelu", "relu", "quick_gelu"), act
     out = _build(float(eps), ln is not None, bool(interpret),
                  BMf, BMb, bool(save_h), act)(x2, *args)
+    if pad:
+        out = out[:M]
+    return out.reshape(shape)
+
+
+def fused_mlp_res(x: jnp.ndarray, scale: jnp.ndarray, w1: jnp.ndarray,
+                  b1: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray, *,
+                  ln: tuple, eps: float = 1e-5, act: str = "gelu",
+                  interpret: bool = None) -> jnp.ndarray:
+    """(..., C) -> (..., C): x + scale * dense2(act(dense1(LN(x)))).
+
+    The pre-LN residual tail as an in-kernel epilogue (Swin's
+    `x + DropPath(mlp(LN(x)))`, models/swin.py SwinBlock) — the separate
+    XLA elementwise pass that read x and the MLP output and wrote the sum
+    disappears; HBM sees x (and the tiny per-row scale) in and the summed
+    output out. scale is a per-ROW factor broadcast over C: the DropPath
+    keep-mask divided by the keep probability (all-ones when inactive);
+    it is treated as a constant of the step (zero cotangent).
+
+    Returns None when no row blocking fits (caller falls back to the XLA
+    composition).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    C = x.shape[-1]
+    F = w1.shape[1]
+    pick = _pick_block_mlp(C, F, x.dtype.itemsize, True, False)
+    if pick is None:
+        return None
+    BMf, BMb = pick
+    shape = x.shape
+    x2 = x.reshape(-1, C)
+    M = x2.shape[0]
+    s2 = jnp.broadcast_to(scale.astype(jnp.float32).reshape(-1, 1),
+                          (M, 1))
+    pad = (-M) % max(BMf, BMb)
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        s2 = jnp.pad(s2, ((0, pad), (0, 0)))
+    assert act in ("gelu", "relu", "quick_gelu"), act
+    out = _build(float(eps), True, bool(interpret), BMf, BMb, False, act,
+                 res=True)(
+        x2, s2, ln[0].reshape(1, -1), ln[1].reshape(1, -1),
+        w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
     if pad:
         out = out[:M]
     return out.reshape(shape)

@@ -480,3 +480,114 @@ def test_idrec_cli_roundtrip_resume_tracks_torch(tmp_path):
     np.testing.assert_allclose(
         np.asarray(state.params["params"]["id_embedding"]["embedding"]),
         t2n(m.id_embedding.weight), rtol=5e-4, atol=5e-5)
+
+
+def test_map_vision_resnet():
+    """ResNet map executed against a torch module with torchvision's exact
+    structure/state-dict keys (torchvision itself is absent in this image —
+    same replica the resnet parity tests use), fc already replaced per
+    run.py:42-46. Covers batch_stats conversion + the vision fc grouping
+    exception."""
+    from test_resnet import TorchResNet18
+
+    torch.manual_seed(14)
+    net = TorchResNet18(out_dim=D)
+    FREEZE = 6
+    for idx, (_n, p) in enumerate(net.named_parameters()):
+        if idx < FREEZE:
+            p.requires_grad = False
+    RefModel = load_ref_model_class("inbatch_sasrec_e2e_vision", "cvtmap_rn")
+    args = ref_args(L=L, D=D, CV_model_load="resnet18")
+    torch.manual_seed(15)
+    m = RefModel(args, N_ITEMS, True, net, np.ones(N_ITEMS + 1))
+    cfg = Config(item_tower="modal", modality="vision", embedding_dim=D,
+                 max_seq_len=L, cv_model_load="resnet18",
+                 freeze_paras_before=FREEZE)
+    sd, cmap = assert_map_matches(m, cfg)
+    assert [e.torch_name for e in optimizer_ordered_entries(cfg, cmap)] \
+        == ref_group_order(m, "vision")
+    params, stats = convert_model_state(sd, cmap)
+    assert stats is not None   # BN running stats -> batch_stats
+    from idvs.morec_tpu.models.resnet import ResNet
+    from idvs.morec_tpu.models.vision_tower import VisionTower
+    tower = VisionTower(net=ResNet(arch="resnet18", out_dim=D),
+                        kind="resnet", embedding_dim=D, feature_dim=D)
+    model = make_model(cfg, item_num=N_ITEMS, encoder=tower)
+    content = jnp.zeros((2 * cfg.seq_len_total, 32, 32, 3), jnp.float32)
+    assert_loads_into(model, cfg, params, stats, content)
+    np.testing.assert_allclose(
+        stats["encoder"]["net"]["bn1"]["mean"],
+        t2n(net.bn1.running_mean))
+
+
+def test_map_text_roberta_and_opt():
+    """RoBERTa shares BERT's module structure (run.py:29-41); OPT has its
+    own order map and no pooler. Both executed vs the real HF modules."""
+    from transformers import (OPTConfig as HFOPTConfig, OPTModel,
+                              RobertaConfig as HFRobertaConfig, RobertaModel)
+
+    RefModel = load_ref_model_class("inbatch_sasrec_e2e_text", "cvtmap_rbo")
+
+    rcfg = HFRobertaConfig(vocab_size=64, hidden_size=32,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=64,
+                           max_position_embeddings=40,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    torch.manual_seed(16)
+    roberta = RobertaModel(rcfg)
+    apply_text_freeze(roberta, 3, pooler_para=(37, 38))
+    args = ref_args(L=L, D=D, num_words_title=T, word_embedding_dim=32)
+    torch.manual_seed(17)
+    m = RefModel(args, N_ITEMS, True, roberta, np.ones(N_ITEMS + 1))
+    cfg = Config(item_tower="modal", modality="text", embedding_dim=D,
+                 max_seq_len=L, num_words_title=T, word_embedding_dim=32,
+                 bert_model_load="roberta-base", freeze_paras_before=3)
+    _, cmap = assert_map_matches(m, cfg)
+    assert [e.torch_name for e in optimizer_ordered_entries(cfg, cmap)] \
+        == ref_group_order(m, "text")
+
+    ocfg = HFOPTConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                       num_attention_heads=2, ffn_dim=64,
+                       max_position_embeddings=40, dropout=0.0,
+                       attention_dropout=0.0)
+    torch.manual_seed(18)
+    opt_net = OPTModel(ocfg)
+    for idx, (_n, p) in enumerate(opt_net.named_parameters()):
+        if idx < 4:     # pooler_para = [] for OPT (run.py:42-47)
+            p.requires_grad = False
+    torch.manual_seed(19)
+    m2 = RefModel(args, N_ITEMS, True, opt_net, np.ones(N_ITEMS + 1))
+    cfg2 = Config(item_tower="modal", modality="text", embedding_dim=D,
+                  max_seq_len=L, num_words_title=T, word_embedding_dim=32,
+                  bert_model_load="opt-125m", freeze_paras_before=4)
+    _, cmap2 = assert_map_matches(m2, cfg2)
+    assert [e.torch_name for e in optimizer_ordered_entries(cfg2, cmap2)] \
+        == ref_group_order(m2, "text")
+
+
+def test_map_vision_two_stage_dirs():
+    """The two vision 2stage Model variants (bce_vision/main-2stage and
+    bce_vision/id_plus_mo-2stage) — no encoder in the model, num_fc_ftr
+    plays word_embedding_dim's role."""
+    RefModel = load_ref_model_class("bce_vision/main-2stage(SASRec)",
+                                    "cvtmap_v2s")
+    args = ref_args(L=L, D=D, dnn_layer=2)
+    torch.manual_seed(20)
+    m = RefModel(args, N_ITEMS, WORD_DIM)
+    cfg = Config(item_tower="modal", stage="two_stage", loss="bce",
+                 modality="vision", embedding_dim=D, max_seq_len=L,
+                 dnn_layers=2, word_embedding_dim=WORD_DIM)
+    assert_map_matches(m, cfg)
+
+    RefModel2 = load_ref_model_class("bce_vision/id_plus_mo-2stage",
+                                     "cvtmap_vimo2s")
+    args2 = ref_args(L=L, D=D, item_tower="modal_cat", mo_dnn_layers=8,
+                     dnn_layers=0)
+    torch.manual_seed(21)
+    m2 = RefModel2(args2, N_ITEMS, WORD_DIM, True)
+    cfg2 = Config(item_tower="modal_id_cat", stage="two_stage", loss="bce",
+                  modality="vision", embedding_dim=D, max_seq_len=L,
+                  mo_dnn_layers=8, dnn_layers=0,
+                  word_embedding_dim=WORD_DIM)
+    assert_map_matches(m2, cfg2)

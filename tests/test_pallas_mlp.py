@@ -308,3 +308,61 @@ def test_primal_fwd_only_editions_match_grad_path():
         t, res, w, b2[:C], ln2=(gm, bt), eps2=EPS, drop_rate=0.0,
         interpret=True))
     np.testing.assert_array_equal(np.asarray(p), np.asarray(v))
+
+
+def test_fused_mlp_res_fwd_and_grads():
+    """Pre-LN residual-epilogue edition (Swin tails, round 5):
+    x + scale * mlp(LN(x)) — forward and every cotangent vs the XLA
+    composition, with a DropPath-style 0/(1/keep) row mask."""
+    from idvs.morec_tpu.ops.pallas.mlp import fused_mlp_res
+
+    rng = np.random.default_rng(11)
+    M, C, F = 48, 96, 192
+    x = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    w1, b1, w2, b2 = _params(rng, C, F)
+    gm = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1 + 1.0)
+    bt = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    keep = 0.7
+    s = jnp.asarray((rng.uniform(size=(M,)) < keep).astype(np.float32)
+                    / keep)
+
+    def ref(x, gm, bt, w1, b1, w2, b2):
+        return x + s[:, None] * _ref(x, w1, b1, w2, b2, ln=(gm, bt))
+
+    def fused(x, gm, bt, w1, b1, w2, b2):
+        return fused_mlp_res(x, s, w1, b1, w2, b2, ln=(gm, bt), eps=EPS,
+                             interpret=True)
+
+    args = (x, gm, bt, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(fused(*args)),
+                               np.asarray(ref(*args)), rtol=2e-5, atol=2e-5)
+    ct = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    g_ref = jax.grad(lambda *a: jnp.sum(ref(*a) * ct),
+                     argnums=tuple(range(7)))(*args)
+    g_fused = jax.grad(lambda *a: jnp.sum(fused(*a) * ct),
+                       argnums=tuple(range(7)))(*args)
+    for i, (a, b) in enumerate(zip(g_ref, g_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5, err_msg=f"arg {i}")
+
+
+def test_swin_block_res_epilogue_matches_fallback(monkeypatch):
+    """SwinBlock level: the residual-epilogue path == the fused_mlp + XLA
+    add path (IDVS_SWIN_NO_RESEPI) at drop_path 0, eval and train."""
+    from idvs.morec_tpu.models.swin import SwinConfig, SwinModel
+
+    cfg = SwinConfig(image_size=16, patch_size=2, embed_dim=16,
+                     depths=(2,), num_heads=(2,), window_size=2,
+                     drop_path_rate=0.0, mlp_ratio=2.0,
+                     hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    model = SwinModel(cfg)
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), imgs)
+
+    out_epi = model.apply(params, imgs, True)
+    monkeypatch.setenv("IDVS_SWIN_NO_RESEPI", "1")
+    out_plain = model.apply(params, imgs, True)
+    np.testing.assert_allclose(np.asarray(out_epi), np.asarray(out_plain),
+                               rtol=2e-5, atol=2e-5)

@@ -591,3 +591,94 @@ def test_map_vision_two_stage_dirs():
                   mo_dnn_layers=8, dnn_layers=0,
                   word_embedding_dim=WORD_DIM)
     assert_map_matches(m2, cfg2)
+
+
+def test_vision_swin_cli_roundtrip(tmp_path):
+    """Vision end2end (tiny HF Swin, replaced classifier, vision two-group
+    AdamW with the fc/classifier exception): torch-train -> reference
+    save_model -> CLI -> our template. Params AND moments land exactly
+    through the conv-layout/qkv transforms, and the converted tower
+    produces the same item embeddings as the torch model."""
+    hf_cfg, net = tiny_hf_swin(seed=30)
+    RefModel = load_ref_model_class("inbatch_sasrec_e2e_vision", "cvtrt_sw")
+    args = ref_args(L=L, D=D, CV_model_load="swin_tiny", drop_rate=0.0)
+    rng = np.random.default_rng(31)
+    pop = np.ones(N_ITEMS + 1)
+    torch.manual_seed(32)
+    m = RefModel(args, N_ITEMS, True, net, pop)
+    m.train()
+    image_net_params, recsys_params = [], []
+    for name, p in m.named_parameters():
+        if p.requires_grad:
+            if ("image_net" in name and "fc" not in name
+                    and "classifier" not in name):
+                image_net_params.append(p)
+            else:
+                recsys_params.append(p)
+    opt = torch.optim.AdamW([
+        {"params": image_net_params, "lr": 1e-4, "weight_decay": 0.02},
+        {"params": recsys_params, "lr": 1e-3, "weight_decay": 0.01}])
+    B = 2
+    for i in range(2):
+        r = np.random.default_rng(200 + i)
+        ids = r.integers(1, N_ITEMS + 1, size=(B, L + 1))
+        imgs = r.normal(size=(B * (L + 1), 3, 32, 32)).astype(np.float32)
+        lm = np.ones((B, L), np.float32)
+        opt.zero_grad()
+        loss = m(torch.LongTensor(ids).reshape(-1),
+                 torch.FloatTensor(imgs), torch.FloatTensor(lm), CPU)
+        loss.backward()
+        opt.step()
+    pt_path = _write_ref_pt(tmp_path, m, opt, "cvtrt_sw")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import convert_reference_ckpt as tool
+    out = tool.main(["--pt", pt_path, "--out", str(tmp_path),
+                     "--item_tower", "modal", "--modality", "vision",
+                     "--cv_model_load", "swin_tiny",
+                     "--freeze_paras_before", "0",
+                     "--embedding_dim", str(D), "--max_seq_len", str(L),
+                     "--drop_rate", "0.0"])
+
+    import flax.serialization as fs
+    with open(out, "rb") as f:
+        payload = fs.msgpack_restore(f.read())
+    params = payload["params"]["params"]
+
+    # moment spot-check through the swin transforms: group-0 position 0 is
+    # the patch projection conv (OIHW -> HWIO)
+    st = opt.state_dict()["state"]
+    exp = st[0]["exp_avg"].numpy().transpose(2, 3, 1, 0)
+    enc_inner = payload["opt_state"]["inner_states"]["encoder"]["inner_state"]
+    np.testing.assert_allclose(
+        enc_inner["0"]["mu"]["encoder"]["net"]["patch_projection"]["kernel"],
+        exp, rtol=0, atol=0)
+    # classifier (recsys group, inside image_net): moments present there
+    rs_inner = payload["opt_state"]["inner_states"]["recsys"]["inner_state"]
+    rs_names = ref_group_order(m, "vision")[len(image_net_params):]
+    cpos = rs_names.index("cv_encoder.image_net.classifier.weight")
+    np.testing.assert_allclose(
+        rs_inner["0"]["mu"]["encoder"]["classifier"]["kernel"],
+        st[len(image_net_params) + cpos]["exp_avg"].numpy().T)
+
+    # the converted tower reproduces the torch model's item embeddings
+    from idvs.morec_tpu.models.swin import SwinConfig, SwinModel
+    from idvs.morec_tpu.models.vision_tower import VisionTower
+    scfg = SwinConfig.from_hf(hf_cfg)
+    tower = VisionTower(net=SwinModel(scfg), kind="swin", embedding_dim=D,
+                        feature_dim=scfg.num_features)
+    model = make_model(Config(item_tower="modal", modality="vision",
+                              embedding_dim=D, max_seq_len=L,
+                              cv_model_load="swin_tiny",
+                              compute_dtype="float32"),
+                       item_num=N_ITEMS, encoder=tower)
+    r = np.random.default_rng(9)
+    probe = r.normal(size=(4, 3, 32, 32)).astype(np.float32)
+    m.eval()
+    with torch.no_grad():
+        want = t2n(m.cv_encoder(torch.FloatTensor(probe)))
+    got = model.apply({"params": params}, jnp.arange(1, 5, dtype=jnp.int32),
+                      jnp.asarray(probe.transpose(0, 2, 3, 1)),
+                      method="item_embs")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-5, atol=5e-5)

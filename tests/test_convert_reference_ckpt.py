@@ -682,3 +682,39 @@ def test_vision_swin_cli_roundtrip(tmp_path):
                       jnp.asarray(probe.transpose(0, 2, 3, 1)),
                       method="item_embs")
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-5, atol=5e-5)
+
+
+def test_cli_directory_mode(tmp_path):
+    """--pt <dir> converts every epoch-N.pt in the directory (the
+    reference's cpt_<hparams>/ layout, utils.py:107-114)."""
+    RefModel = load_ref_model_class("inbatch_sasrec_e2e_text", "cvtdir")
+    torch.manual_seed(40)
+    m = RefModel(ref_args(L=L, D=D), N_ITEMS, False, None,
+                 np.ones(N_ITEMS + 1))
+    opt = torch.optim.AdamW(m.parameters(), lr=1e-3)
+    from _ref_harness import load_ref_package
+    load_ref_package("inbatch_sasrec_e2e_text", "data_utils", "cvtdir")
+    utils_mod = sys.modules["_refpkg_data_utils_cvtdir.utils"]
+
+    class _Mod:
+        def __init__(self, m):
+            self.module = m
+
+    class _Scaler:
+        def state_dict(self):
+            return {}
+
+    for ep in (1, 3):
+        utils_mod.save_model(ep, _Mod(m), str(tmp_path), opt,
+                             torch.get_rng_state(), torch.get_rng_state(),
+                             _Scaler(), null_logger())
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import convert_reference_ckpt as tool
+    last = tool.main(["--pt", str(tmp_path),
+                      "--item_tower", "id", "--embedding_dim", str(D),
+                      "--max_seq_len", str(L), "--num_attention_heads", "2",
+                      "--transformer_block", "2"])
+    assert last.endswith("epoch-3.ckpt")
+    assert os.path.exists(os.path.join(str(tmp_path), "epoch-1.ckpt"))
+    assert os.path.exists(os.path.join(str(tmp_path), "epoch-3.ckpt"))

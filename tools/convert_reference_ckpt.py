@@ -29,38 +29,56 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(argv=None):
-    pre = argparse.ArgumentParser(add_help=False)
-    pre.add_argument("--pt", required=True,
-                     help="reference epoch-N.pt checkpoint path")
-    pre.add_argument("--out", default=None,
-                     help="output .ckpt path or directory "
-                          "(default: alongside the .pt)")
-    ns, rest = pre.parse_known_args(argv)
+def _convert_one(pt_path, cfg, out_dir):
+    import re
 
-    from idvs.morec_tpu.config import parse_args
+    import torch
+    import flax.serialization
+
     from idvs.morec_tpu.models.convert_ref import convert_reference_checkpoint
     from idvs.morec_tpu.train.checkpoint import epoch_from_name
 
-    cfg = parse_args(rest)
-    epoch = epoch_from_name(ns.pt)
-
-    import torch
-    payload = torch.load(ns.pt, map_location="cpu", weights_only=False)
-
+    epoch = epoch_from_name(pt_path)
+    payload = torch.load(pt_path, map_location="cpu", weights_only=False)
     ckpt = convert_reference_checkpoint(payload, cfg, epoch)
-
-    out = ns.out or os.path.dirname(os.path.abspath(ns.pt))
+    out = out_dir or os.path.dirname(os.path.abspath(pt_path))
     if os.path.isdir(out) or out.endswith(os.sep):
         os.makedirs(out, exist_ok=True)
         out = os.path.join(out, f"epoch-{epoch}.ckpt")
-    import flax.serialization
     with open(out, "wb") as f:
         f.write(flax.serialization.msgpack_serialize(ckpt))
     n = sum(x.size for x in _leaves(ckpt["params"]))
     print(f"wrote {out}  (epoch {epoch}, step {int(ckpt['step'])}, "
           f"{n} weights)")
     return out
+
+
+def main(argv=None):
+    import re
+
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--pt", required=True,
+                     help="reference epoch-N.pt checkpoint path, or a "
+                          "checkpoint DIRECTORY (cpt_<hparams>/) — a "
+                          "directory converts every epoch-N.pt in it")
+    pre.add_argument("--out", default=None,
+                     help="output .ckpt path or directory "
+                          "(default: alongside the .pt)")
+    ns, rest = pre.parse_known_args(argv)
+
+    from idvs.morec_tpu.config import parse_args
+
+    cfg = parse_args(rest)
+    if os.path.isdir(ns.pt):
+        pts = sorted(
+            (os.path.join(ns.pt, f) for f in os.listdir(ns.pt)
+             if re.match(r"epoch-\d+\.pt$", f)),
+            key=lambda p: int(re.findall(r"\d+", os.path.basename(p))[0]))
+        if not pts:
+            raise SystemExit(f"no epoch-N.pt files in {ns.pt}")
+        outs = [_convert_one(p, cfg, ns.out or ns.pt) for p in pts]
+        return outs[-1]
+    return _convert_one(ns.pt, cfg, ns.out)
 
 
 def _leaves(tree):

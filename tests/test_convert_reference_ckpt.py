@@ -718,3 +718,56 @@ def test_cli_directory_mode(tmp_path):
     assert last.endswith("epoch-3.ckpt")
     assert os.path.exists(os.path.join(str(tmp_path), "epoch-1.ckpt"))
     assert os.path.exists(os.path.join(str(tmp_path), "epoch-3.ckpt"))
+
+
+def test_dssm_cli_roundtrip(tmp_path):
+    """DSSM IDRec (user_embedding + MLPs, plain AdamW): .pt -> CLI -> exact
+    params + moments in our template (user_num/item_num come from the
+    checkpoint tensors, not flags)."""
+    RefModel = load_ref_model_class("bce_text/main-end2end(DSSM)", "cvtrt_ds")
+    args = ref_args(L=L, D=D, dnn_layers=2, neg_num=2)
+    torch.manual_seed(50)
+    m = RefModel(args, N_USERS, N_ITEMS, False, None)
+    opt = torch.optim.AdamW(m.parameters(), lr=1e-3, weight_decay=0.01)
+    r = np.random.default_rng(51)
+    for i in range(3):
+        users = torch.LongTensor(r.integers(1, N_USERS + 1, size=(6,)))
+        items = torch.LongTensor(r.integers(1, N_ITEMS + 1, size=(6 * 3,)))
+        labels = torch.FloatTensor(
+            np.tile([1.0, 0.0, 0.0], 6).reshape(6, 3))
+        opt.zero_grad()
+        loss = m(users, items, labels)
+        loss.backward()
+        opt.step()
+    pt_path = _write_ref_pt(tmp_path, m, opt, "cvtrt_ds")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import convert_reference_ckpt as tool
+    out = tool.main(["--pt", pt_path, "--out", str(tmp_path),
+                     "--user_tower", "dssm", "--loss", "bce",
+                     "--item_tower", "id", "--embedding_dim", str(D),
+                     "--max_seq_len", str(L), "--dnn_layers", "2",
+                     "--neg_num", "2"])
+
+    import flax.serialization as fs
+    with open(out, "rb") as f:
+        payload = fs.msgpack_restore(f.read())
+    p = payload["params"]["params"]
+    np.testing.assert_array_equal(p["user_embedding"]["embedding"],
+                                  t2n(m.user_embedding.weight))
+    np.testing.assert_array_equal(p["id_embedding"]["embedding"],
+                                  t2n(m.id_embedding.weight))
+    np.testing.assert_array_equal(
+        p["user_mlp"]["mlp"]["Dense_0"]["kernel"],
+        t2n(m.user_encoder.MLP.mlp_layers[1].weight).T)
+    # single-group moments: index 0 = user_embedding
+    st = opt.state_dict()["state"]
+    np.testing.assert_array_equal(
+        payload["opt_state"]["0"]["mu"]["user_embedding"]["embedding"],
+        st[0]["exp_avg"].numpy())
+    # structure loads into our DSSM template
+    cfg = Config(user_tower="dssm", loss="bce", item_tower="id",
+                 embedding_dim=D, max_seq_len=L, dnn_layers=2, neg_num=2)
+    model = make_model(cfg, item_num=N_ITEMS, user_num=N_USERS)
+    assert_loads_into(model, cfg, p, None, None)

@@ -269,8 +269,9 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, (s, s), axis=(1, 2))
         if pad_h or pad_w:
             x = x[:, :H, :W]
-        x = x.reshape(B, L, C)
-        x = shortcut + DropPath(self.drop_path, name="dp1")(x, deterministic)
+        attn_out = x.reshape(B, L, C)
+        x = None   # set below: either the fused double-residual consumes
+        #            attn_out directly, or the XLA add materializes x
 
         # --- MLP: LN -> 4C dense -> exact GELU -> dense (HF Swin
         # SwinIntermediate/SwinOutput). Fused Pallas edition on TPU: the
@@ -285,29 +286,41 @@ class SwinBlock(nn.Module):
         k1, b1 = ProjParams(C, F, name="intermediate")()
         k2, b2 = ProjParams(F, C, name="output")()
         p_hid = 0.0 if deterministic else c.hidden_dropout_prob
-        if _os.environ.get("IDVS_SWIN_NO_MLP"):
-            return x          # ablation: measure the MLP's in-context cost
-        if (use_fused and p_hid == 0.0
-                and not _os.environ.get("IDVS_SWIN_NO_FMLP")
-                and not _os.environ.get("IDVS_SWIN_NO_RESEPI")):
-            # residual-epilogue edition (round 5): the whole pre-LN MLP
-            # sub-block INCLUDING `x + DropPath(...)` in one kernel — the
-            # separate XLA elementwise pass over (M, C) disappears. The
-            # DropPath mask is drawn here per image (same semantics as the
-            # DropPath module: one Bernoulli per sample, scaled by 1/keep)
-            # and enters the kernel as a per-row scale; draw ORDER within
-            # the 'dropout' stream differs from the module path, like every
-            # fused-tail edition (PARITY r4 item 7 contract).
-            from ..ops.pallas.mlp import fused_mlp_res
+
+        def dp_scale():
+            """One DropPath Bernoulli per image, scaled by 1/keep — the
+            DropPath module's semantics drawn inline for the fused tails
+            (draw ORDER within the 'dropout' stream differs from the module
+            path, like every fused-tail edition — PARITY r4 item 7)."""
             if self.drop_path > 0.0 and not deterministic:
                 keep = 1.0 - self.drop_path
                 mask = jax.random.bernoulli(self.make_rng("dropout"), keep,
                                             (B, 1))
-                scale = mask.astype(jnp.float32) / keep
+                sc = mask.astype(jnp.float32) / keep
             else:
-                scale = jnp.ones((B, 1), jnp.float32)
-            scale = jnp.broadcast_to(scale, (B, L)).reshape(-1)
-            out = fused_mlp_res(x, scale, k1.astype(x.dtype),
+                sc = jnp.ones((B, 1), jnp.float32)
+            return jnp.broadcast_to(sc, (B, L)).reshape(-1)
+
+        if _os.environ.get("IDVS_SWIN_NO_MLP"):
+            # ablation: measure the MLP's in-context cost
+            return shortcut + DropPath(self.drop_path,
+                                       name="dp1")(attn_out, deterministic)
+        fused_tails = (use_fused and p_hid == 0.0
+                       and not _os.environ.get("IDVS_SWIN_NO_FMLP")
+                       and not _os.environ.get("IDVS_SWIN_NO_RESEPI"))
+        # (A double-residual edition that ALSO folded the attention-side
+        # `shortcut + DropPath(attn)` into the kernel was built and
+        # measured: vision_zipf 204.0 device sps vs 217.5 with this
+        # single-residual epilogue — the in-kernel attention-add serializes
+        # work XLA was overlapping with the window-reverse copies. Removed;
+        # dead-end log in PARITY.md round 5.)
+        x = shortcut + DropPath(self.drop_path, name="dp1")(attn_out,
+                                                            deterministic)
+        if fused_tails:
+            # single-residual epilogue: the MLP sub-block INCLUDING its
+            # `x + DropPath(...)` tail in one kernel
+            from ..ops.pallas.mlp import fused_mlp_res
+            out = fused_mlp_res(x, dp_scale(), k1.astype(x.dtype),
                                 b1.astype(x.dtype), k2.astype(x.dtype),
                                 b2.astype(x.dtype), ln=(gm, bt),
                                 eps=c.layer_norm_eps, interpret=interp)

@@ -280,14 +280,11 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
     def bwd_call(x, *args):
         # args = ([s,] [gamma, beta,] w1, b1, w2, [h,] dout)
         M, C = x.shape
-        head, consts = ([pl.BlockSpec((BMb, C), lambda i: (i, 0),
-                                      memory_space=pltpu.VMEM), _sblk(BMb)],
-                        args[1:]) if res else (None, args)
-        F = _F(consts)
         blk = pl.BlockSpec((BMb, C), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-        if head is None:
-            head = [blk]
+        head, consts = (([blk, _sblk(BMb)], args[1:]) if res
+                        else ([blk], args))
+        F = _F(consts)
         blkF = pl.BlockSpec((BMb, F), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
         out_specs = [blk]

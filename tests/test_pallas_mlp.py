@@ -366,66 +366,3 @@ def test_swin_block_res_epilogue_matches_fallback(monkeypatch):
     out_plain = model.apply(params, imgs, True)
     np.testing.assert_allclose(np.asarray(out_epi), np.asarray(out_plain),
                                rtol=2e-5, atol=2e-5)
-
-
-def test_fused_block_res_fwd_and_grads():
-    """Double-residual edition (Swin full-block tail):
-    xin = x + s1*a; out = xin + s2*mlp(LN(xin)) — forward and every
-    cotangent (incl. d_attn) vs the XLA composition."""
-    from idvs.morec_tpu.ops.pallas.mlp import fused_block_res
-
-    rng = np.random.default_rng(13)
-    M, C, F = 48, 96, 192
-    x = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
-    a = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
-    w1, b1, w2, b2 = _params(rng, C, F)
-    gm = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1 + 1.0)
-    bt = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
-    s1 = jnp.asarray((rng.uniform(size=(M,)) < 0.8).astype(np.float32) / 0.8)
-    s2 = jnp.asarray((rng.uniform(size=(M,)) < 0.7).astype(np.float32) / 0.7)
-
-    def ref(x, a, gm, bt, w1, b1, w2, b2):
-        xin = x + s1[:, None] * a
-        return xin + s2[:, None] * _ref(xin, w1, b1, w2, b2, ln=(gm, bt))
-
-    def fused(x, a, gm, bt, w1, b1, w2, b2):
-        return fused_block_res(x, a, s1, s2, w1, b1, w2, b2, ln=(gm, bt),
-                               eps=EPS, interpret=True)
-
-    args = (x, a, gm, bt, w1, b1, w2, b2)
-    np.testing.assert_allclose(np.asarray(fused(*args)),
-                               np.asarray(ref(*args)), rtol=2e-5, atol=2e-5)
-    ct = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
-    g_ref = jax.grad(lambda *z: jnp.sum(ref(*z) * ct),
-                     argnums=tuple(range(8)))(*args)
-    g_fused = jax.grad(lambda *z: jnp.sum(fused(*z) * ct),
-                       argnums=tuple(range(8)))(*args)
-    for i, (p, q) in enumerate(zip(g_ref, g_fused)):
-        np.testing.assert_allclose(np.asarray(q), np.asarray(p),
-                                   rtol=2e-4, atol=2e-5, err_msg=f"arg {i}")
-
-
-def test_swin_block_res2_matches_single_res_and_fallback(monkeypatch):
-    """SwinModel level: res2 == single-res == plain XLA composition at
-    drop_path 0 (the three tail codepaths agree)."""
-    from idvs.morec_tpu.models.swin import SwinConfig, SwinModel
-
-    cfg = SwinConfig(image_size=16, patch_size=2, embed_dim=16,
-                     depths=(2,), num_heads=(2,), window_size=2,
-                     drop_path_rate=0.0, mlp_ratio=2.0,
-                     hidden_dropout_prob=0.0,
-                     attention_probs_dropout_prob=0.0)
-    model = SwinModel(cfg)
-    rng = np.random.default_rng(4)
-    imgs = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), imgs)
-
-    out_res2 = model.apply(params, imgs, True)
-    monkeypatch.setenv("IDVS_SWIN_NO_RES2", "1")
-    out_res1 = model.apply(params, imgs, True)
-    monkeypatch.setenv("IDVS_SWIN_NO_RESEPI", "1")
-    out_plain = model.apply(params, imgs, True)
-    np.testing.assert_allclose(np.asarray(out_res2), np.asarray(out_res1),
-                               rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(out_res2), np.asarray(out_plain),
-                               rtol=2e-5, atol=2e-5)

@@ -771,3 +771,30 @@ def test_dssm_cli_roundtrip(tmp_path):
                  embedding_dim=D, max_seq_len=L, dnn_layers=2, neg_num=2)
     model = make_model(cfg, item_num=N_ITEMS, user_num=N_USERS)
     assert_loads_into(model, cfg, p, None, None)
+
+
+def test_map_dssm_vision_modal():
+    """DSSM + vision encoder (bce_vision/main-end2end(DSSM)/model/model.py:
+    7-43, Vit_Encoder branch): user_embedding + MLP registered before the
+    cv tower; the vision grouping rule applies (its run.py:128-143)."""
+    hf_cfg, net = tiny_hf_swin(seed=60)
+    FREEZE = 3
+    for idx, (_n, p) in enumerate(net.named_parameters()):
+        if idx < FREEZE:
+            p.requires_grad = False
+    RefModel = load_ref_model_class("bce_vision/main-end2end(DSSM)",
+                                    "cvtmap_dsv")
+    args = ref_args(L=L, D=D, dnn_layers=2, neg_num=2,
+                    CV_model_load="swin_tiny")
+    torch.manual_seed(61)
+    m = RefModel(args, N_USERS, N_ITEMS, True, net)
+    cfg = Config(user_tower="dssm", loss="bce", item_tower="modal",
+                 modality="vision", embedding_dim=D, max_seq_len=L,
+                 dnn_layers=2, neg_num=2, cv_model_load="swin_tiny",
+                 freeze_paras_before=FREEZE)
+    sd, cmap = assert_map_matches(m, cfg)
+    assert [e.torch_name for e in optimizer_ordered_entries(cfg, cmap)] \
+        == ref_group_order(m, "vision")
+    params, _ = convert_model_state(sd, cmap)
+    np.testing.assert_allclose(params["encoder"]["classifier"]["kernel"],
+                               t2n(net.classifier.weight).T)

@@ -530,3 +530,174 @@ def convert_reference_checkpoint(pt_payload: Dict, cfg, epoch: int) -> Dict:
         "scaler_state": {},
         "extra": {"converted_from": "reference_pt"},
     }
+
+
+# ======================================================================
+# Reverse direction: our checkpoint -> reference torch .pt (export).
+#
+# Makes checkpoint migration BIDIRECTIONAL: a model trained here exports
+# to the exact artifact the reference's run_test.py / resume workflow
+# consumes (torch.load -> model.load_state_dict(strict=True) ->
+# optimizer.load_state_dict, run_test.py:111-123, run.py:130-145).
+#
+# strict=True means the exported model_state_dict must carry EVERY key of
+# the torch module, including tensors our tree does not hold: the frozen
+# BERT pooler and registered buffers (position_ids / token_type_ids /
+# relative_position_index / BN num_batches_tracked — the exact set depends
+# on the installed transformers). The exporter therefore takes a TEMPLATE
+# state dict of the encoder net (instantiated from the HF class, or the
+# user's original pretrained .bin — the pooler was frozen at those values
+# during training, so the pretrained tensors are exactly right) and
+# overlays the mapped keys onto it.
+# ======================================================================
+
+def _invert_leaf(v: np.ndarray, flax_leaf_name: str) -> np.ndarray:
+    """Inverse of the forward converters' per-leaf transforms: 2D kernels
+    transpose back to (out, in); 4D conv kernels HWIO -> OIHW. Every
+    forward converter in this repo uses exactly these rules (plus
+    name-only renames), so the generic inverse is exact."""
+    v = np.asarray(v)
+    if flax_leaf_name == "kernel":
+        if v.ndim == 4:
+            return np.ascontiguousarray(v.transpose(3, 2, 0, 1))
+        return np.ascontiguousarray(v.T)
+    return v
+
+
+def _get_path(tree: Dict, path: Tuple[str, ...]):
+    d = tree
+    for k in path:
+        d = d[k]
+    return d
+
+
+def export_model_state(variables: Dict, cfg,
+                       net_template_sd: Optional[Dict] = None) -> Dict:
+    """Our flax variables ({'params', maybe 'batch_stats'}) -> the
+    reference Model's torch state_dict (numpy values).
+
+    net_template_sd: the encoder net's torch state dict used (a) to infer
+    the architecture for the composed map and (b) as the base the mapped
+    keys overlay — its pooler/buffer tensors survive untouched. Required
+    for modal end2end exports; pass the HF module's state_dict (or the
+    original pretrained file's)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats")
+    pseudo_sd: Dict[str, np.ndarray] = {}
+    out: Dict[str, np.ndarray] = {}
+    net_prefix = None
+    if net_template_sd is not None:
+        use_modal = "modal" in cfg.item_tower
+        assert use_modal and cfg.stage == "end2end", \
+            "net_template_sd only applies to modal end2end exports"
+        if cfg.modality == "text":
+            net_prefix = "bert_encoder.text_encoders.title.bert_model."
+        else:
+            net_prefix = "cv_encoder.image_net."
+        for k, v in net_template_sd.items():
+            t = np.asarray(v.detach().cpu().numpy()
+                           if hasattr(v, "detach") else v)
+            pseudo_sd[net_prefix + k] = t
+            out[net_prefix + k] = t
+    cmap = composed_map(cfg, pseudo_sd)
+    for e in cmap.entries:
+        if e.flax_path is None:
+            continue   # pooler rows: template values stand
+        try:
+            v = _get_path(params, e.flax_path)
+        except KeyError:
+            raise KeyError(f"our checkpoint has no leaf {e.flax_path} for "
+                           f"{e.torch_name!r} — wrong flags for this "
+                           f"checkpoint?")
+        out[e.torch_name] = _invert_leaf(v, e.flax_path[-1])
+    # ResNet BatchNorm running stats live in 'batch_stats'; torch keeps
+    # them as <bn>.running_mean/var (+ num_batches_tracked, taken from the
+    # template — unused by momentum-based BN). Torch module names come from
+    # the order map (the downsample BN is 'downsample.1', not a name the
+    # flax path alone can reconstruct).
+    if stats is not None and net_prefix is not None:
+        from .resnet import resnet_torch_param_order
+
+        net_stats = stats.get("encoder", {}).get("net", {})
+        arch = cfg.cv_model_load.replace("-", "_")
+        for tname, fpath in resnet_torch_param_order(arch):
+            if fpath is None or fpath[-1] != "scale":
+                continue
+            mod = tname[:-len(".weight")]
+            for leaf, torch_stat in (("mean", "running_mean"),
+                                     ("var", "running_var")):
+                out[net_prefix + f"{mod}.{torch_stat}"] = np.asarray(
+                    _get_path(net_stats, tuple(fpath[:-1]) + (leaf,)))
+    return out
+
+
+def export_optimizer(opt_state_sd: Dict, cfg, cmap: ComposedMap,
+                     step: Optional[int] = None) -> Dict:
+    """Our serialized optax state -> torch AdamW optimizer.state_dict().
+
+    param_groups reproduce the reference's construction (fine-tune then
+    recsys for modal end2end with the lr/wd knobs from cfg; one group
+    otherwise, run.py:150-191); state entries carry exp_avg/exp_avg_sq
+    through the same inverse transforms as the params."""
+    # collect {flax_path: (mu, nu, count)} from every ScaleByAdamState
+    moments: Dict[Tuple[str, ...], Tuple[np.ndarray, np.ndarray, int]] = {}
+
+    def collect(node):
+        if not isinstance(node, dict):
+            return
+        if set(node.keys()) >= {"count", "mu", "nu"}:
+            cnt = int(np.asarray(node["count"]))
+
+            def leaves(tree, prefix=()):
+                for k, v in tree.items():
+                    if isinstance(v, dict):
+                        yield from leaves(v, prefix + (k,))
+                    else:
+                        yield prefix + (k,), v
+
+            nus = dict(leaves(node["nu"]))
+            for path, mu_v in leaves(node["mu"]):
+                if hasattr(mu_v, "shape"):
+                    moments[path] = (np.asarray(mu_v),
+                                     np.asarray(nus[path]), cnt)
+            return
+        for v in node.values():
+            collect(v)
+
+    collect(opt_state_sd)
+
+    ordered = optimizer_ordered_entries(cfg, cmap)
+    use_modal = "modal" in cfg.item_tower
+    two_group = use_modal and cfg.stage == "end2end"
+    if two_group:
+        if cfg.modality == "text":
+            is_ft = lambda n: "bert_model" in n
+        else:
+            is_ft = lambda n: ("image_net" in n
+                               and "fc" not in n and "classifier" not in n)
+        n_ft = sum(1 for e in ordered if is_ft(e.torch_name))
+        groups = [
+            {"params": list(range(n_ft)), "lr": cfg.fine_tune_lr,
+             "weight_decay": cfg.fine_tune_l2_weight},
+            {"params": list(range(n_ft, len(ordered))), "lr": cfg.lr,
+             "weight_decay": cfg.l2_weight},
+        ]
+    else:
+        groups = [{"params": list(range(len(ordered))), "lr": cfg.lr,
+                   "weight_decay": cfg.l2_weight}]
+    for g in groups:
+        g.update({"betas": (0.9, 0.999), "eps": 1e-8, "amsgrad": False,
+                  "maximize": False, "foreach": None, "capturable": False,
+                  "differentiable": False, "fused": None})
+    state: Dict[int, Dict] = {}
+    for idx, e in enumerate(ordered):
+        if e.flax_path is None or e.flax_path not in moments:
+            continue   # pooler / grad-less: torch leaves no state entry
+        mu_v, nu_v, cnt = moments[e.flax_path]
+        leaf = e.flax_path[-1]
+        state[idx] = {
+            "step": np.asarray(float(step if step is not None else cnt)),
+            "exp_avg": _invert_leaf(mu_v, leaf),
+            "exp_avg_sq": _invert_leaf(nu_v, leaf),
+        }
+    return {"state": state, "param_groups": groups}

@@ -1,0 +1,196 @@
+"""Reverse converter (.ckpt -> reference .pt): executed round trips.
+
+1. torch -> ours -> torch round-trip identity: a reference-trained .pt
+   converted in (tools/convert_reference_ckpt) then exported back
+   (tools/export_reference_ckpt) reproduces every mapped tensor and AdamW
+   moment bit-for-bit, with pooler/buffers carried by the template.
+2. A natively-trained checkpoint of OURS exports to a .pt the reference's
+   own Model loads with strict=True and its own AdamW loads — the
+   artifact is drop-in for the reference's run_test.py/resume workflow.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from _ref_harness import (REF_ROOT, load_ref_model_class, null_logger,
+                          ref_args, t2n)
+from idvs.morec_tpu.config import Config
+from idvs.morec_tpu.models.model import make_model
+from idvs.morec_tpu.train.checkpoint import save_checkpoint
+from idvs.morec_tpu.train.state import TrainState, make_optimizer
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF_ROOT),
+                                reason="reference repo not mounted")
+
+CPU = torch.device("cpu")
+L, D, N_ITEMS, T = 8, 16, 40, 8
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+
+def tiny_hf_bert(seed=70):
+    from transformers import BertConfig as HFBertConfig, BertModel as HFBertModel
+    cfg = HFBertConfig(vocab_size=64, hidden_size=128, num_hidden_layers=2,
+                       num_attention_heads=2, intermediate_size=256,
+                       max_position_embeddings=32, hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0)
+    torch.manual_seed(seed)
+    return cfg, HFBertModel(cfg)
+
+
+def test_torch_roundtrip_identity(tmp_path):
+    """reference .pt -> our .ckpt -> exported .pt: every model tensor and
+    every optimizer moment identical; pooler and position_ids buffers
+    survive via the template."""
+    import convert_reference_ckpt as fwd_tool
+    import export_reference_ckpt as rev_tool
+
+    hf_cfg, bert = tiny_hf_bert()
+    for idx, (_n, p) in enumerate(bert.named_parameters()):
+        if idx < 3 or idx in (37, 38):
+            p.requires_grad = False
+    RefModel = load_ref_model_class("inbatch_sasrec_e2e_text", "exp_rt")
+    args = ref_args(L=L, D=D, num_words_title=T, word_embedding_dim=128)
+    torch.manual_seed(71)
+    m = RefModel(args, N_ITEMS, True, bert, np.ones(N_ITEMS + 1))
+    bert_params = [p for n, p in m.named_parameters()
+                   if p.requires_grad and "bert_model" in n]
+    rec_params = [p for n, p in m.named_parameters()
+                  if p.requires_grad and "bert_model" not in n]
+    opt = torch.optim.AdamW([
+        {"params": bert_params, "lr": 5e-4, "weight_decay": 0.02},
+        {"params": rec_params, "lr": 1e-3, "weight_decay": 0.01}])
+    r = np.random.default_rng(72)
+    for i in range(3):
+        ids = torch.LongTensor(r.integers(1, N_ITEMS + 1, size=(4 * (L + 1),)))
+        content = torch.LongTensor(
+            np.concatenate([r.integers(2, 64, size=(4 * (L + 1), T)),
+                            np.ones((4 * (L + 1), T))], axis=1))
+        lm = torch.ones(4, L)
+        opt.zero_grad()
+        m(ids, content, lm, CPU).backward()
+        opt.step()
+    orig_sd = {k: t2n(v) for k, v in m.state_dict().items()}
+    orig_opt = opt.state_dict()
+    pt0 = tmp_path / "epoch-3.pt"
+    torch.save({"model_state_dict": m.state_dict(),
+                "optimizer": orig_opt,
+                "rng_state": torch.get_rng_state(),
+                "cuda_rng_state": torch.get_rng_state(),
+                "scaler_state": {}}, pt0)
+
+    flags = ["--item_tower", "modal", "--modality", "text",
+             "--bert_model_load", "bert-tiny", "--freeze_paras_before", "3",
+             "--embedding_dim", str(D), "--max_seq_len", str(L),
+             "--num_words_title", str(T), "--word_embedding_dim", "128",
+             "--fine_tune_lr", "5e-4", "--fine_tune_l2_weight", "0.02",
+             "--lr", "1e-3", "--l2_weight", "0.01"]
+    ckpt = fwd_tool.main(["--pt", str(pt0), "--out", str(tmp_path / "mid") + os.sep]
+                         + flags)
+    pt1 = rev_tool.main(["--ckpt", ckpt, "--out", str(tmp_path / "back") + os.sep]
+                        + flags, net_template_sd=bert.state_dict())
+
+    back = torch.load(pt1, map_location="cpu", weights_only=False)
+    back_sd = {k: t2n(v) for k, v in back["model_state_dict"].items()}
+    assert set(back_sd) == set(orig_sd)
+    for k in orig_sd:
+        np.testing.assert_array_equal(back_sd[k], orig_sd[k], err_msg=k)
+    # optimizer: same group sizes, same moments per index
+    bo = back["optimizer"]
+    assert [len(g["params"]) for g in bo["param_groups"]] == \
+        [len(g["params"]) for g in orig_opt["param_groups"]]
+    for i, st in orig_opt["state"].items():
+        np.testing.assert_array_equal(t2n(bo["state"][i]["exp_avg"]),
+                                      t2n(st["exp_avg"]), err_msg=str(i))
+        np.testing.assert_array_equal(t2n(bo["state"][i]["exp_avg_sq"]),
+                                      t2n(st["exp_avg_sq"]))
+        assert int(bo["state"][i]["step"]) == int(np.asarray(st["step"]))
+
+
+def test_native_checkpoint_strict_loads_into_reference(tmp_path):
+    """A checkpoint that never saw torch (our init + optax) exports to a
+    .pt the reference Model strict-loads and the reference AdamW
+    load_state_dict accepts, and the loaded towers reproduce our item
+    embeddings."""
+    import export_reference_ckpt as rev_tool
+    from idvs.morec_tpu.models.bert import BertConfig, BertModel
+    from idvs.morec_tpu.models.text_tower import TextTower
+
+    hf_cfg, bert = tiny_hf_bert(seed=80)
+    bcfg = BertConfig.from_hf(hf_cfg)
+    cfg = Config(item_tower="modal", modality="text", embedding_dim=D,
+                 max_seq_len=L, num_words_title=T, word_embedding_dim=128,
+                 bert_model_load="bert-tiny", freeze_paras_before=0,
+                 compute_dtype="float32", lr=1e-3, l2_weight=0.01,
+                 fine_tune_lr=5e-4, fine_tune_l2_weight=0.02)
+    tower = TextTower(net=BertModel(bcfg), embedding_dim=D,
+                      word_embedding_dim=128, pooling="cls",
+                      attr_lengths=(T,))
+    model = make_model(cfg, item_num=N_ITEMS, encoder=tower)
+    content0 = jnp.ones((2 * (L + 1), 2 * T), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(3),
+                            "masking": jax.random.PRNGKey(4)},
+                           jnp.ones((2, L + 1), jnp.int32), content0,
+                           jnp.ones((2, L), jnp.float32))
+    from idvs.morec_tpu.models.convert_text import bert_frozen_paths
+    from idvs.morec_tpu.train.state import (default_encoder_predicate,
+                                            param_labels)
+    labels = param_labels(variables["params"], default_encoder_predicate,
+                          bert_frozen_paths(2, 0, ("encoder", "net")))
+    tx = make_optimizer(cfg, labels)
+    state = TrainState(step=jnp.asarray(7, jnp.int32), params=variables,
+                       opt_state=tx.init(variables["params"]),
+                       dropout_rng=jax.random.PRNGKey(5))
+    ckpt_path = save_checkpoint(str(tmp_path), 2, state)
+
+    flags = ["--item_tower", "modal", "--modality", "text",
+             "--bert_model_load", "bert-tiny", "--freeze_paras_before", "0",
+             "--embedding_dim", str(D), "--max_seq_len", str(L),
+             "--num_words_title", str(T), "--word_embedding_dim", "128",
+             "--fine_tune_lr", "5e-4", "--fine_tune_l2_weight", "0.02",
+             "--lr", "1e-3", "--l2_weight", "0.01"]
+    pt = rev_tool.main(["--ckpt", ckpt_path, "--out", str(tmp_path)]
+                       + flags, net_template_sd=bert.state_dict())
+
+    # the reference's load path, strict
+    RefModel = load_ref_model_class("inbatch_sasrec_e2e_text", "exp_nat")
+    args = ref_args(L=L, D=D, num_words_title=T, word_embedding_dim=128)
+    torch.manual_seed(81)
+    bert2 = tiny_hf_bert(seed=82)[1]
+    # the reference ALWAYS freezes the pooler (run.py:55-75 size table)
+    for idx, (_n, p) in enumerate(bert2.named_parameters()):
+        if idx in (37, 38):
+            p.requires_grad = False
+    m = RefModel(args, N_ITEMS, True, bert2, np.ones(N_ITEMS + 1))
+    payload = torch.load(pt, map_location="cpu", weights_only=False)
+    m.load_state_dict(payload["model_state_dict"])          # strict=True
+    bert_params = [p for n, p in m.named_parameters() if "bert_model" in n
+                   and p.requires_grad]
+    rec_params = [p for n, p in m.named_parameters()
+                  if "bert_model" not in n and p.requires_grad]
+    opt = torch.optim.AdamW([
+        {"params": bert_params, "lr": 5e-4, "weight_decay": 0.02},
+        {"params": rec_params, "lr": 1e-3, "weight_decay": 0.01}])
+    opt.load_state_dict(payload["optimizer"])
+
+    # loaded towers reproduce our item embeddings
+    r = np.random.default_rng(83)
+    probe_ids = np.concatenate(
+        [r.integers(2, 64, size=(5, T)), np.ones((5, T))],
+        axis=1).astype(np.int64)
+    m.eval()
+    with torch.no_grad():
+        want = t2n(m.bert_encoder(torch.LongTensor(probe_ids)))
+    got = model.apply({"params": variables["params"]},
+                      jnp.arange(1, 6, dtype=jnp.int32),
+                      jnp.asarray(probe_ids, jnp.int32), method="item_embs")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)

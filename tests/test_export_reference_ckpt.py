@@ -194,3 +194,61 @@ def test_native_checkpoint_strict_loads_into_reference(tmp_path):
                       jnp.arange(1, 6, dtype=jnp.int32),
                       jnp.asarray(probe_ids, jnp.int32), method="item_embs")
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_converted_reference_ckpt_serves(tmp_path):
+    """The full migration-to-production story: a reference-trained .pt
+    converts and goes straight into the serving engine — catalog encoded
+    through the converted towers, top-K recommendations exclude history
+    and rank by the converted weights' scores."""
+    import convert_reference_ckpt as fwd_tool
+    import flax.serialization as fs
+
+    from idvs.morec_tpu.serve import Retriever
+
+    RefModel = load_ref_model_class("inbatch_sasrec_e2e_text", "exp_srv")
+    rng = np.random.default_rng(90)
+    pop = np.ones(N_ITEMS + 1)
+    torch.manual_seed(91)
+    m = RefModel(ref_args(L=L, D=D), N_ITEMS, False, None, pop)
+    opt = torch.optim.AdamW(m.parameters(), lr=1e-3)
+    for i in range(3):
+        ids = torch.LongTensor(rng.integers(1, N_ITEMS + 1,
+                                            size=(4 * (L + 1),)))
+        lm = torch.ones(4, L)
+        opt.zero_grad()
+        m(ids, ids, lm, CPU).backward()
+        opt.step()
+    pt = tmp_path / "epoch-1.pt"
+    torch.save({"model_state_dict": m.state_dict(),
+                "optimizer": opt.state_dict(),
+                "rng_state": torch.get_rng_state(),
+                "cuda_rng_state": torch.get_rng_state(),
+                "scaler_state": {}}, pt)
+    ckpt = fwd_tool.main(["--pt", str(pt), "--out", str(tmp_path),
+                          "--item_tower", "id", "--embedding_dim", str(D),
+                          "--max_seq_len", str(L),
+                          "--num_attention_heads", "2",
+                          "--transformer_block", "2"])
+    with open(ckpt, "rb") as f:
+        payload = fs.msgpack_restore(f.read())
+
+    cfg = Config(item_tower="id", embedding_dim=D, max_seq_len=L,
+                 num_attention_heads=2, transformer_block=2,
+                 compute_dtype="float32")
+    model = make_model(cfg, item_num=N_ITEMS)
+    params = jax.tree.map(jnp.asarray, payload["params"])
+    table = Retriever.encode_catalog(model, params, N_ITEMS, None, D)
+    # the served catalog IS the converted id_embedding table
+    np.testing.assert_allclose(np.asarray(table),
+                               t2n(m.id_embedding.weight), rtol=1e-6,
+                               atol=1e-6)
+    r = Retriever(model, params, table, max_seq_len=L,
+                  batch_sizes=(4,))
+    hists = [[1, 2, 3], [7, 9], [5], [11, 12]]
+    ids_out, scores = r.recommend(hists, top_k=5)
+    assert ids_out.shape == (4, 5)
+    for u, h in enumerate(hists):
+        assert not (set(ids_out[u].tolist()) & set(h)), "history leaked"
+        assert 0 not in ids_out[u]
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)   # best-first

@@ -390,20 +390,33 @@ def optimizer_ordered_entries(cfg, cmap: ComposedMap) -> List[Entry]:
 
 
 def torch_moment_sds(model_sd: Dict[str, np.ndarray], torch_opt_sd: Dict,
-                     ordered: List[Entry]
+                     ordered: List[Entry],
+                     expected_group_sizes: Optional[List[int]] = None
                      ) -> Tuple[Dict, Dict, int]:
     """Split the torch optimizer state into exp_avg / exp_avg_sq
     pseudo-state-dicts (zeros where a param has no optimizer state: frozen
     params, or trainable-but-gradless ones torch never stepped) + the global
     step count."""
+    groups = torch_opt_sd.get("param_groups", [])
     idx_list: List[int] = []
-    for g in torch_opt_sd.get("param_groups", []):
+    for g in groups:
         idx_list.extend(g["params"])
     if len(idx_list) != len(ordered):
         raise ValueError(
             f"optimizer has {len(idx_list)} params but the composed map "
             f"expects {len(ordered)} — the checkpoint's variant/geometry "
             f"does not match the provided flags")
+    # group STRUCTURE must match the reference construction too: equal
+    # totals with different group splits would silently mis-map moments
+    if expected_group_sizes is not None:
+        got = [len(g["params"]) for g in groups]
+        if got != expected_group_sizes:
+            raise ValueError(
+                f"optimizer param_groups sizes {got} do not match the "
+                f"reference construction {expected_group_sizes} for these "
+                f"flags (fine-tune group then recsys group, run.py:150-162)"
+                f" — was this checkpoint written by a modified optimizer "
+                f"setup?")
     state = torch_opt_sd.get("state", {})
     mu_sd = {k: np.zeros_like(np.asarray(v))
              for k, v in model_sd.items()
@@ -508,7 +521,19 @@ def convert_reference_checkpoint(pt_payload: Dict, cfg, epoch: int) -> Dict:
                       for k, st in opt_payload.get("state", {}).items()},
             "param_groups": opt_payload.get("param_groups", []),
         }
-        mu_sd, nu_sd, step = torch_moment_sds(model_sd, t_opt, ordered)
+        use_modal = "modal" in cfg.item_tower
+        if use_modal and cfg.stage == "end2end":
+            if cfg.modality == "text":
+                is_ft = lambda n: "bert_model" in n
+            else:
+                is_ft = lambda n: ("image_net" in n and "fc" not in n
+                                   and "classifier" not in n)
+            n_ft = sum(1 for e in ordered if is_ft(e.torch_name))
+            expected_sizes = [n_ft, len(ordered) - n_ft]
+        else:
+            expected_sizes = [len(ordered)]
+        mu_sd, nu_sd, step = torch_moment_sds(model_sd, t_opt, ordered,
+                                              expected_sizes)
         mu_tree, _ = convert_model_state(mu_sd, cmap)
         nu_tree, _ = convert_model_state(nu_sd, cmap)
         opt_sd = graft_adamw_moments(opt_sd, mu_tree, nu_tree, step)

@@ -252,3 +252,108 @@ def test_converted_reference_ckpt_serves(tmp_path):
         assert not (set(ids_out[u].tolist()) & set(h)), "history leaked"
         assert 0 not in ids_out[u]
     assert np.all(np.diff(scores, axis=1) <= 1e-6)   # best-first
+
+
+def test_vision_roundtrip_identity_swin_and_resnet(tmp_path):
+    """Vision export paths: the 4D conv inverse (Swin patch projection /
+    ResNet convs) and the BatchNorm running-stats re-emission under the
+    torch buffer names (incl. the Sequential 'downsample.1' naming)."""
+    import convert_reference_ckpt as fwd_tool
+    import export_reference_ckpt as rev_tool
+
+    # ---- Swin
+    from test_convert_reference_ckpt import tiny_hf_swin
+    hf_cfg, net = tiny_hf_swin(seed=92)
+    RefModel = load_ref_model_class("inbatch_sasrec_e2e_vision", "exp_vsw")
+    args = ref_args(L=L, D=D, CV_model_load="swin_tiny")
+    torch.manual_seed(93)
+    m = RefModel(args, N_ITEMS, True, net, np.ones(N_ITEMS + 1))
+    image_net_params = [p for n, p in m.named_parameters()
+                        if "image_net" in n and "classifier" not in n]
+    rec_params = [p for n, p in m.named_parameters()
+                  if "image_net" not in n or "classifier" in n]
+    opt = torch.optim.AdamW([
+        {"params": image_net_params, "lr": 1e-4, "weight_decay": 0.02},
+        {"params": rec_params, "lr": 1e-3, "weight_decay": 0.01}])
+    r = np.random.default_rng(94)
+    for _ in range(2):
+        ids = torch.LongTensor(r.integers(1, N_ITEMS + 1,
+                                          size=(2 * (L + 1),)))
+        imgs = torch.FloatTensor(r.normal(size=(2 * (L + 1), 3, 32, 32)))
+        opt.zero_grad()
+        m(ids, imgs, torch.ones(2, L), CPU).backward()
+        opt.step()
+    orig_sd = {k: t2n(v) for k, v in m.state_dict().items()}
+    pt0 = tmp_path / "sw" / "epoch-2.pt"
+    os.makedirs(pt0.parent)
+    torch.save({"model_state_dict": m.state_dict(),
+                "optimizer": opt.state_dict(),
+                "rng_state": torch.get_rng_state(),
+                "cuda_rng_state": torch.get_rng_state(),
+                "scaler_state": {}}, pt0)
+    flags = ["--item_tower", "modal", "--modality", "vision",
+             "--cv_model_load", "swin_tiny", "--freeze_paras_before", "0",
+             "--embedding_dim", str(D), "--max_seq_len", str(L),
+             "--fine_tune_lr", "1e-4", "--fine_tune_l2_weight", "0.02",
+             "--lr", "1e-3", "--l2_weight", "0.01"]
+    ckpt = fwd_tool.main(["--pt", str(pt0)] + flags)
+    pt1 = rev_tool.main(["--ckpt", ckpt, "--out",
+                         str(tmp_path / "sw_back") + os.sep] + flags,
+                        net_template_sd=net.state_dict())
+    back_sd = {k: t2n(v) for k, v in torch.load(
+        pt1, map_location="cpu",
+        weights_only=False)["model_state_dict"].items()}
+    assert set(back_sd) == set(orig_sd)
+    for k in orig_sd:
+        np.testing.assert_array_equal(back_sd[k], orig_sd[k], err_msg=k)
+
+    # ---- ResNet (BN running stats; torchvision-layout replica)
+    from test_resnet import TorchResNet18
+    torch.manual_seed(95)
+    rnet = TorchResNet18(out_dim=D)
+    torch.manual_seed(96)
+    args_rn = ref_args(L=L, D=D, CV_model_load="resnet18")
+    m2 = load_ref_model_class("inbatch_sasrec_e2e_vision", "exp_vrn")(
+        args_rn, N_ITEMS, True, rnet, np.ones(N_ITEMS + 1))
+    m2.train()
+    img_params = [p for n, p in m2.named_parameters()
+                  if "image_net" in n and "fc" not in n
+                  and "classifier" not in n]
+    rec2 = [p for n, p in m2.named_parameters()
+            if "image_net" not in n or "fc" in n or "classifier" in n]
+    opt2 = torch.optim.AdamW([
+        {"params": img_params, "lr": 1e-4, "weight_decay": 0.02},
+        {"params": rec2, "lr": 1e-3, "weight_decay": 0.01}])
+    for _ in range(2):
+        ids = torch.LongTensor(r.integers(1, N_ITEMS + 1,
+                                          size=(2 * (L + 1),)))
+        imgs = torch.FloatTensor(r.normal(size=(2 * (L + 1), 3, 32, 32)))
+        opt2.zero_grad()
+        m2(ids, imgs, torch.ones(2, L), CPU).backward()
+        opt2.step()
+    orig_sd2 = {k: t2n(v) for k, v in m2.state_dict().items()}
+    pt2 = tmp_path / "rn" / "epoch-2.pt"
+    os.makedirs(pt2.parent)
+    torch.save({"model_state_dict": m2.state_dict(),
+                "optimizer": opt2.state_dict(),
+                "rng_state": torch.get_rng_state(),
+                "cuda_rng_state": torch.get_rng_state(),
+                "scaler_state": {}}, pt2)
+    flags2 = ["--item_tower", "modal", "--modality", "vision",
+              "--cv_model_load", "resnet18", "--freeze_paras_before", "0",
+              "--embedding_dim", str(D), "--max_seq_len", str(L),
+              "--fine_tune_lr", "1e-4", "--fine_tune_l2_weight", "0.02",
+              "--lr", "1e-3", "--l2_weight", "0.01"]
+    ckpt2 = fwd_tool.main(["--pt", str(pt2)] + flags2)
+    pt3 = rev_tool.main(["--ckpt", ckpt2, "--out",
+                         str(tmp_path / "rn_back") + os.sep] + flags2,
+                        net_template_sd=rnet.state_dict())
+    back2 = {k: t2n(v) for k, v in torch.load(
+        pt3, map_location="cpu",
+        weights_only=False)["model_state_dict"].items()}
+    assert set(back2) == set(orig_sd2)
+    for k in orig_sd2:
+        np.testing.assert_array_equal(back2[k], orig_sd2[k], err_msg=k)
+    # the trained (updated) running stats really came through
+    assert not np.allclose(back2["cv_encoder.image_net.bn1.running_mean"],
+                           0.0)

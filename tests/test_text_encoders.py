@@ -329,3 +329,60 @@ def test_build_text_tower_dispatches_deberta(tmp_path):
     variables = tower.init(jax.random.PRNGKey(0), jnp.asarray(ids))
     out = tower.apply(variables, jnp.asarray(ids))
     assert out.shape == (3, 8) and np.isfinite(np.asarray(out)).all()
+
+
+def test_multi_attribute_executed_vs_reference_bert_encoder():
+    """title+abstract through the reference's OWN Bert_Encoder (attribute
+    slicing + shared Text_Encoder + mean, inbatch_sasrec_e2e_text/model/
+    encoders.py:73-117) vs our TextTower with converted weights."""
+    import os
+    import types
+
+    import pytest
+    torch = pytest.importorskip("torch")
+    from _ref_harness import REF_ROOT, load_ref_package, ref_args, t2n
+    if not os.path.isdir(REF_ROOT):
+        pytest.skip("reference not mounted")
+    from transformers import BertConfig as HFBertConfig, BertModel as HFBertModel
+
+    from idvs.morec_tpu.models.bert import BertConfig, BertModel
+    from idvs.morec_tpu.models.convert_text import convert_bert_state_dict
+    from idvs.morec_tpu.models.text_tower import TextTower
+
+    hf_cfg = HFBertConfig(vocab_size=80, hidden_size=32, num_hidden_layers=2,
+                          num_attention_heads=2, intermediate_size=64,
+                          max_position_embeddings=32,
+                          hidden_dropout_prob=0.0,
+                          attention_probs_dropout_prob=0.0)
+    torch.manual_seed(7)
+    hf = HFBertModel(hf_cfg)
+    import sys
+    load_ref_package("inbatch_sasrec_e2e_text", "model", "multiattr")
+    enc_mod = sys.modules["_refpkg_model_multiattr.encoders"]
+    args = ref_args(L=6, D=12, num_words_title=6, num_words_abstract=4,
+                    news_attributes=["title", "abstract"],
+                    word_embedding_dim=32)
+    torch.manual_seed(8)
+    ref_enc = enc_mod.Bert_Encoder(args=args, bert_model=hf)
+    ref_enc.eval()
+
+    rng = np.random.default_rng(9)
+    title = np.concatenate([rng.integers(2, 80, (5, 6)),
+                            np.ones((5, 6), np.int64)], axis=1)
+    abstract = np.concatenate([rng.integers(2, 80, (5, 4)),
+                               np.ones((5, 4), np.int64)], axis=1)
+    content = np.concatenate([title, abstract], axis=1)
+    with torch.no_grad():
+        want = t2n(ref_enc(torch.LongTensor(content)))
+
+    tower = TextTower(net=BertModel(BertConfig.from_hf(hf_cfg)),
+                      embedding_dim=12, word_embedding_dim=32,
+                      pooling="cls", attr_lengths=(6, 4))
+    net_params = convert_bert_state_dict(
+        {k: t2n(v) for k, v in hf.state_dict().items()}, 2)
+    fc = ref_enc.text_encoders["title"].fc
+    params = {"params": {"net": net_params,
+                         "fc": {"kernel": t2n(fc.weight).T,
+                                "bias": t2n(fc.bias)}}}
+    got = tower.apply(params, jnp.asarray(content), True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)

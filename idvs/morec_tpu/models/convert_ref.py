@@ -611,6 +611,14 @@ def export_model_state(variables: Dict, cfg,
     pseudo_sd: Dict[str, np.ndarray] = {}
     out: Dict[str, np.ndarray] = {}
     net_prefix = None
+    if (net_template_sd is None and "modal" in cfg.item_tower
+            and cfg.stage == "end2end"):
+        raise ValueError(
+            "modal end2end export needs the encoder template state dict "
+            "(the HF module's, or the original pretrained file's) — it "
+            "carries the pooler rows and registered buffers the "
+            "reference's strict load requires; pass "
+            "--pretrained_models_dir to the export tool")
     if net_template_sd is not None:
         use_modal = "modal" in cfg.item_tower
         assert use_modal and cfg.stage == "end2end", \

@@ -340,27 +340,38 @@ def main_all():
     import subprocess
     import sys
 
-    lines = []
+    path = os.environ.get("BENCH_ALL_OUT")
+    if path and os.path.exists(path):
+        os.remove(path)
+    # per-config wall clamp: this platform can hang a worker during remote
+    # compiles (CLAUDE.md platform quirks) — one stuck config must not
+    # stall the sweep or lose the lines already collected, so each line is
+    # appended to BENCH_ALL_OUT as it lands
+    per_config_timeout = int(os.environ.get("BENCH_ALL_TIMEOUT", "2700"))
     for config in ("text_morec", "text_morec_uniform", "idrec",
                    "vision_morec", "vision_morec_zipf"):
         env = dict(os.environ)
         env["BENCH_CONFIG"] = config
         env.pop("BENCH_ALL", None)
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env, capture_output=True, text=True)
-        out_lines = [ln for ln in r.stdout.strip().splitlines()
-                     if ln.startswith("{")]
-        if r.returncode != 0 or not out_lines:
-            line = json.dumps({"metric": config, "error":
-                               (r.stderr or "no output").strip()[-400:]})
-        else:
-            line = out_lines[-1]
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=per_config_timeout)
+            out_lines = [ln for ln in r.stdout.strip().splitlines()
+                         if ln.startswith("{")]
+            if r.returncode != 0 or not out_lines:
+                line = json.dumps({"metric": config, "error":
+                                   (r.stderr or "no output").strip()[-400:]})
+            else:
+                line = out_lines[-1]
+        except subprocess.TimeoutExpired:
+            line = json.dumps({"metric": config,
+                               "error": f"timeout after "
+                                        f"{per_config_timeout}s"})
         print(line, flush=True)
-        lines.append(line)
-    path = os.environ.get("BENCH_ALL_OUT")
-    if path:
-        with open(path, "w") as f:
-            f.write("\n".join(lines) + "\n")
+        if path:
+            with open(path, "a") as f:
+                f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -709,9 +709,17 @@ def export_optimizer(opt_state_sd: Dict, cfg, cmap: ComposedMap,
             is_ft = lambda n: ("image_net" in n
                                and "fc" not in n and "classifier" not in n)
         n_ft = sum(1 for e in ordered if is_ft(e.torch_name))
+        # fine-tune group weight decay: ONLY the inbatch variants pass
+        # fine_tune_l2_weight (inbatch_sasrec_e2e_text/run.py:160, vision
+        # run.py:132); every BCE variant — main-end2end, DSSM, id_plus_mo —
+        # pays args.l2_weight on BOTH groups (bce_text/main-end2end/
+        # run.py:158, main-end2end(DSSM)/run.py:149,
+        # id_plus_mo-end2end/run.py:161; the PARITY.md l2 quirk)
+        ft_wd = (cfg.fine_tune_l2_weight if cfg.loss == "inbatch_ce"
+                 else cfg.l2_weight)
         groups = [
             {"params": list(range(n_ft)), "lr": cfg.fine_tune_lr,
-             "weight_decay": cfg.fine_tune_l2_weight},
+             "weight_decay": ft_wd},
             {"params": list(range(n_ft, len(ordered))), "lr": cfg.lr,
              "weight_decay": cfg.l2_weight},
         ]

@@ -270,8 +270,6 @@ class SwinBlock(nn.Module):
         if pad_h or pad_w:
             x = x[:, :H, :W]
         attn_out = x.reshape(B, L, C)
-        x = None   # set below: either the fused double-residual consumes
-        #            attn_out directly, or the XLA add materializes x
 
         # --- MLP: LN -> 4C dense -> exact GELU -> dense (HF Swin
         # SwinIntermediate/SwinOutput). Fused Pallas edition on TPU: the
@@ -301,10 +299,10 @@ class SwinBlock(nn.Module):
                 sc = jnp.ones((B, 1), jnp.float32)
             return jnp.broadcast_to(sc, (B, L)).reshape(-1)
 
+        x = shortcut + DropPath(self.drop_path, name="dp1")(attn_out,
+                                                            deterministic)
         if _os.environ.get("IDVS_SWIN_NO_MLP"):
-            # ablation: measure the MLP's in-context cost
-            return shortcut + DropPath(self.drop_path,
-                                       name="dp1")(attn_out, deterministic)
+            return x          # ablation: measure the MLP's in-context cost
         fused_tails = (use_fused and p_hid == 0.0
                        and not _os.environ.get("IDVS_SWIN_NO_FMLP")
                        and not _os.environ.get("IDVS_SWIN_NO_RESEPI"))
@@ -314,18 +312,19 @@ class SwinBlock(nn.Module):
         # single-residual epilogue — the in-kernel attention-add serializes
         # work XLA was overlapping with the window-reverse copies. Removed;
         # dead-end log in PARITY.md round 5.)
-        x = shortcut + DropPath(self.drop_path, name="dp1")(attn_out,
-                                                            deterministic)
         if fused_tails:
             # single-residual epilogue: the MLP sub-block INCLUDING its
-            # `x + DropPath(...)` tail in one kernel
-            from ..ops.pallas.mlp import fused_mlp_res
-            out = fused_mlp_res(x, dp_scale(), k1.astype(x.dtype),
-                                b1.astype(x.dtype), k2.astype(x.dtype),
-                                b2.astype(x.dtype), ln=(gm, bt),
-                                eps=c.layer_norm_eps, interpret=interp)
-            if out is not None:
-                return out
+            # `x + DropPath(...)` tail in one kernel. Check the blocking
+            # fits BEFORE drawing the mask — a declined kernel must not
+            # consume an rng draw the fallback DropPath would re-draw
+            from ..ops.pallas.mlp import fused_mlp_res, fused_mlp_res_supported
+            if fused_mlp_res_supported(C, F, x.dtype.itemsize):
+                out = fused_mlp_res(x, dp_scale(), k1.astype(x.dtype),
+                                    b1.astype(x.dtype), k2.astype(x.dtype),
+                                    b2.astype(x.dtype), ln=(gm, bt),
+                                    eps=c.layer_norm_eps, interpret=interp)
+                if out is not None:
+                    return out
         h = None
         if (use_fused and p_hid == 0.0
                 and not _os.environ.get("IDVS_SWIN_NO_FMLP")):

@@ -950,6 +950,14 @@ def fused_mlp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     return out.reshape(shape)
 
 
+def fused_mlp_res_supported(C: int, F: int, itemsize: int) -> bool:
+    """True when fused_mlp_res has a viable row blocking at this geometry —
+    callers that DRAW a DropPath mask for the epilogue should check this
+    FIRST, or a declined kernel wastes an rng draw and shifts the whole
+    downstream 'dropout' stream (vs the module fallback path)."""
+    return _pick_block_mlp(C, F, itemsize, True, False) is not None
+
+
 def fused_mlp_res(x: jnp.ndarray, scale: jnp.ndarray, w1: jnp.ndarray,
                   b1: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray, *,
                   ln: tuple, eps: float = 1e-5, act: str = "gelu",

@@ -28,18 +28,30 @@ import jax.numpy as jnp
 def _needs_gather(x) -> bool:
     """True for arrays a single process cannot device_get — e.g. the
     --zero1_table AdamW moments stored sharded across a multi-process pod
-    (train/state.py shard_table_opt_state)."""
-    return isinstance(x, jax.Array) and not x.is_fully_addressable
+    (train/state.py shard_table_opt_state). Fully-REPLICATED multi-host
+    arrays read from the local replica without any collective."""
+    return (isinstance(x, jax.Array) and not x.is_fully_addressable
+            and not getattr(x, "is_fully_replicated", False))
+
+
+_REPL_GATHER_CACHE: dict = {}
 
 
 def _replicate_collective(x: jax.Array) -> jax.Array:
     """All-gather a sharded array to full replication over its own mesh (a
-    GSPMD collective — every process of the mesh must call this)."""
+    GSPMD collective — every process of the mesh must call this). The
+    jitted identity is cached per mesh so repeated saves don't re-trace
+    per leaf."""
     from jax.sharding import NamedSharding, PartitionSpec
 
     mesh = x.sharding.mesh
-    return jax.jit(lambda a: a,
-                   out_shardings=NamedSharding(mesh, PartitionSpec()))(x)
+    key = id(mesh)
+    fn = _REPL_GATHER_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda a: a,
+                     out_shardings=NamedSharding(mesh, PartitionSpec()))
+        _REPL_GATHER_CACHE[key] = fn
+    return fn(x)
 
 
 def host_copy(tree):
@@ -80,12 +92,16 @@ def save_checkpoint(model_dir: str, epoch: int, state, extra: Optional[Dict] = N
 
 
 def load_checkpoint(path: str, state):
-    """Restore into an existing (template) TrainState; returns (state, payload)."""
+    """Restore into an existing (template) TrainState; returns (state, payload).
+
+    Call from ALL processes on a pod: the template host copy gathers
+    sharded leaves collectively (the --zero1_table moments — the same
+    contract as save_checkpoint)."""
     with open(path, "rb") as f:
         payload = flax.serialization.msgpack_restore(f.read())
     template = {
-        "params": jax.device_get(state.params),
-        "opt_state": jax.device_get(state.opt_state),
+        "params": host_copy(state.params),
+        "opt_state": host_copy(state.opt_state),
     }
     restored = flax.serialization.from_state_dict(
         template,

@@ -39,7 +39,6 @@ def _net_template(cfg):
                         cfg.bert_model_load if cfg.modality == "text"
                         else cfg.cv_model_load)
     if cfg.modality == "text":
-        from transformers import AutoConfig
         name = cfg.bert_model_load
         if "roberta" in name:
             from transformers import RobertaModel as Cls
@@ -47,10 +46,14 @@ def _net_template(cfg):
             from transformers import OPTModel as Cls
         else:
             from transformers import BertModel as Cls
-        if os.path.isdir(path):
-            net = Cls.from_pretrained(path)
-        else:
-            net = Cls(AutoConfig.from_pretrained(name))
+        if not os.path.isdir(path):
+            raise SystemExit(
+                f"text export needs the pretrained HF checkpoint under "
+                f"{path} — its (frozen) pooler tensors and registered "
+                f"buffers go into the exported state dict verbatim; a "
+                f"config-init template would silently write RANDOM pooler "
+                f"weights")
+        net = Cls.from_pretrained(path)
         return net.state_dict()
     name = cfg.cv_model_load.replace("-", "_")
     if name.startswith("resnet"):
@@ -65,19 +68,22 @@ def _net_template(cfg):
                          f"{path} (its BN buffers form the template)")
     if "swin" in name:
         import torch.nn as nn
-        from transformers import AutoConfig, SwinForImageClassification
-        if os.path.isdir(path):
-            net = SwinForImageClassification.from_pretrained(path)
-        else:
-            net = SwinForImageClassification(AutoConfig.from_pretrained(path))
+        from transformers import SwinForImageClassification
+        if not os.path.isdir(path):
+            raise SystemExit(
+                f"swin export needs the pretrained HF checkpoint under "
+                f"{path} (registered buffers form the template)")
+        net = SwinForImageClassification.from_pretrained(path)
         net.classifier = nn.Linear(net.classifier.in_features,
                                    cfg.embedding_dim)
         return net.state_dict()
     if "mae" in name or "checkpoint" in name:
-        from transformers import AutoConfig, ViTMAEModel
-        net = (ViTMAEModel.from_pretrained(path) if os.path.isdir(path)
-               else ViTMAEModel(AutoConfig.from_pretrained(path)))
-        return net.state_dict()
+        from transformers import ViTMAEModel
+        if not os.path.isdir(path):
+            raise SystemExit(
+                f"mae export needs the pretrained HF checkpoint under "
+                f"{path}")
+        return ViTMAEModel.from_pretrained(path).state_dict()
     raise SystemExit(f"unsupported cv_model_load for export: {name}")
 
 

@@ -49,6 +49,13 @@ def make_dataset(base, seed, n_items=600, n_groups=12, n_users=1500,
     training; leave-one-out targets therefore include poorly-observed items.
     """
     rng = np.random.default_rng(seed)
+    # atomic like make_vision_dataset: a partially-written dataset left by
+    # an interrupted run must never be silently reused by a rerun's
+    # isdir() guard
+    final = base
+    base = final.rstrip(os.sep) + ".tmp"
+    if os.path.isdir(base):
+        shutil.rmtree(base)
     os.makedirs(base, exist_ok=True)
     per = n_items // n_groups
     with open(os.path.join(base, "news.tsv"), "w") as f:
@@ -70,6 +77,7 @@ def make_dataset(base, seed, n_items=600, n_groups=12, n_users=1500,
             L = int(rng.integers(6, 12))
             items = rng.choice(members, size=min(L, per), replace=False, p=w)
             f.write(f"u{u}\t" + " ".join(f"i{k}" for k in items) + "\n")
+    os.rename(base, final)
 
 
 GROUP_PALETTE = np.array(

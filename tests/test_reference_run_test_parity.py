@@ -251,3 +251,122 @@ def test_run_test_and_resume_on_converted_ckpt(tmp_path, monkeypatch):
     # the converted-moment continuation tracks the torch continuation to
     # within the measured one-borderline-user cross-framework allowance
     assert abs(our_res[0] - res_hits[0]) <= 1.0 / N_USERS + 1e-6
+
+
+def test_reference_run_test_on_exported_ckpt(tmp_path, monkeypatch):
+    """The mirror of the test above: OUR Trainer trains, the checkpoint
+    exports to .pt (tools/export_reference_ckpt), and the reference's own
+    run_test.py evaluates it — per-user test vectors identical to our
+    Trainer.test on the original .ckpt. Train here, hand off to torch."""
+    from transformers import BertConfig as HFBertConfig, BertModel as HFBertModel
+
+    from idvs.morec_tpu.models import encoders_zoo
+    from idvs.morec_tpu.models.bert import BertConfig, BertModel
+    from idvs.morec_tpu.models.convert_text import convert_bert_state_dict
+    from idvs.morec_tpu.models.text_tower import TextTower
+
+    rng = np.random.default_rng(61)
+    root = write_tsvs(tmp_path, rng)
+    tok = InjectiveTokenizer()
+    hf_cfg = HFBertConfig(vocab_size=64, hidden_size=128, num_hidden_layers=2,
+                          num_attention_heads=2, intermediate_size=256,
+                          max_position_embeddings=32, hidden_dropout_prob=0.0,
+                          attention_probs_dropout_prob=0.0)
+    torch.manual_seed(300)
+    hf_main = HFBertModel(hf_cfg)
+    # pooler frozen as the reference's size table would (run.py:55-75)
+    for idx, (_n, p) in enumerate(hf_main.named_parameters()):
+        if idx in (37, 38):
+            p.requires_grad = False
+    init_sd = {k: v.clone() for k, v in hf_main.state_dict().items()}
+
+    bcfg = BertConfig.from_hf(hf_cfg)
+    net_params = convert_bert_state_dict(init_sd, hf_cfg.num_hidden_layers)
+
+    def make_bundle():
+        tower = TextTower(net=BertModel(bcfg), embedding_dim=D,
+                          word_embedding_dim=128, pooling="cls",
+                          attr_lengths=(T,))
+        return (tower, {"params": net_params}, set(), 128)
+
+    monkeypatch.setattr(encoders_zoo, "load_tokenizer", lambda c: tok)
+    monkeypatch.chdir(tmp_path)
+
+    # ---- OUR side trains 2 epochs and saves
+    cfg = our_cfg(root, item_tower="modal", modality="text",
+                  num_words_title=T, word_embedding_dim=128,
+                  bert_model_load="bert-tiny", freeze_paras_before=0,
+                  epoch=2)
+    mesh = make_mesh(jax.devices("cpu")[:1])
+    tr = Trainer(cfg, log_file=null_logger("exp_ours"), mesh=mesh,
+                 encoder_bundle=make_bundle())
+    tr.load_data()
+    tr.build_model()
+    tr.train()
+    import re as _re
+    saved = sorted(int(_re.findall(r"\d+", f)[0])
+                   for f in os.listdir(tr.model_dir) if f.endswith(".ckpt"))
+    last = saved[-1]
+    ckpt_path = os.path.join(tr.model_dir, f"epoch-{last}.ckpt")
+
+    # our per-user test vectors on the saved checkpoint
+    cfg_t = our_cfg(root, item_tower="modal", modality="text",
+                    num_words_title=T, word_embedding_dim=128,
+                    bert_model_load="bert-tiny", freeze_paras_before=0,
+                    mode="test", load_ckpt_name=f"epoch-{last}.ckpt")
+    tr_t = Trainer(cfg_t, log_file=null_logger("exp_ours_t"), mesh=mesh,
+                   encoder_bundle=make_bundle())
+    tr_t.load_data()
+    tr_t.build_model()
+    tr_t.test()
+    from idvs.morec_tpu.train.evaluate import (compute_item_embeddings,
+                                               evaluate)
+    table = compute_item_embeddings(tr_t.model, tr_t.state.params,
+                                    tr_t.item_num, tr_t.item_content, D,
+                                    cfg_t.item_emb_batch_size, tr_t.mesh)
+    _, _, our_hit_u, our_ndcg_u = evaluate(
+        tr_t.model, tr_t.state.params, table, tr_t.eval_test, tr_t.mesh,
+        per_user=True)
+
+    # ---- export the .ckpt to a reference .pt
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import export_reference_ckpt as rev_tool
+    ref_dir = tmp_path / "ref_ckpt_exp"
+    os.makedirs(ref_dir, exist_ok=True)
+    flags = ["--item_tower", "modal", "--modality", "text",
+             "--bert_model_load", "bert-tiny", "--freeze_paras_before", "0",
+             "--embedding_dim", str(D), "--max_seq_len", str(L),
+             "--num_words_title", str(T), "--word_embedding_dim", "128",
+             "--drop_rate", "0.0", "--lr", "1e-3", "--l2_weight", "0.01",
+             "--fine_tune_lr", "5e-4", "--fine_tune_l2_weight", "0.02"]
+    rev_tool.main(["--ckpt", ckpt_path, "--out", str(ref_dir) + os.sep]
+                  + flags, net_template_sd=init_sd)
+
+    # ---- the reference's own run_test.py evaluates the exported .pt
+    rt_mod = load_ref_run("inbatch_sasrec_e2e_text", "rtp_exp",
+                          filename="run_test.py")
+    _bert_patches(monkeypatch, rt_mod, hf_cfg, hf_main, tok)
+    rargs = ref_loop_args(root, bert_model_load="bert-tiny",
+                          freeze_paras_before=0, num_words_title=T,
+                          word_embedding_dim=128, mode="test",
+                          load_ckpt_name=f"epoch-{last}.pt")
+    ensure_single_rank_group()
+    patch_cuda_free(monkeypatch, rt_mod, str(ref_dir), rargs)
+    captured = {}
+    mglobals = rt_mod.eval_model.__globals__
+    real_concat = mglobals["eval_concat"]
+
+    def spy_concat(eval_list, sampler):
+        n = len(sampler.dataset)
+        captured["hit"] = t2n(eval_list[0])[:n]
+        captured["ndcg"] = t2n(eval_list[1])[:n]
+        return real_concat(eval_list, sampler)
+
+    monkeypatch.setitem(mglobals, "eval_concat", spy_concat)
+    torch.manual_seed(777)
+    rt_mod.train(rargs, True, CPU)
+
+    np.testing.assert_array_equal(np.asarray(our_hit_u), captured["hit"])
+    np.testing.assert_allclose(np.asarray(our_ndcg_u), captured["ndcg"],
+                               rtol=1e-5, atol=1e-6)

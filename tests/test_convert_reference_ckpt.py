@@ -798,3 +798,45 @@ def test_map_dssm_vision_modal():
     params, _ = convert_model_state(sd, cmap)
     np.testing.assert_allclose(params["encoder"]["classifier"]["kernel"],
                                t2n(net.classifier.weight).T)
+
+
+def test_converter_rejects_mismatched_optimizer(tmp_path):
+    """Clear errors instead of silent mis-mapping: (a) wrong flags for the
+    checkpoint's geometry (count mismatch), (b) a non-reference param-group
+    split with the right total (structure mismatch — would scramble moment
+    indices)."""
+    RefModel = load_ref_model_class("inbatch_sasrec_e2e_text", "cvt_rej")
+    torch.manual_seed(55)
+    m = RefModel(ref_args(L=L, D=D), N_ITEMS, False, None,
+                 np.ones(N_ITEMS + 1))
+    opt = torch.optim.AdamW(m.parameters(), lr=1e-3)
+    ids = torch.LongTensor(
+        np.random.default_rng(0).integers(1, N_ITEMS + 1,
+                                          size=(4 * (L + 1),)))
+    opt.zero_grad()
+    m(ids, ids, torch.ones(4, L), CPU).backward()
+    opt.step()
+    payload = {"model_state_dict": m.state_dict(),
+               "optimizer": opt.state_dict(),
+               "rng_state": torch.get_rng_state(),
+               "cuda_rng_state": None, "scaler_state": {}}
+
+    # (a) wrong transformer_block -> the composed map can't find tensors
+    cfg_wrong = Config(item_tower="id", embedding_dim=D, max_seq_len=L,
+                       num_attention_heads=2, transformer_block=3)
+    with pytest.raises((KeyError, ValueError)):
+        convert_reference_checkpoint(payload, cfg_wrong, epoch=1)
+
+    # (b) right tensors, NON-reference group split (two groups for IDRec)
+    params = list(m.parameters())
+    opt2 = torch.optim.AdamW([
+        {"params": params[:3], "lr": 1e-3},
+        {"params": params[3:], "lr": 1e-3}])
+    opt2.zero_grad()
+    m(ids, ids, torch.ones(4, L), CPU).backward()
+    opt2.step()
+    payload2 = dict(payload, optimizer=opt2.state_dict())
+    cfg = Config(item_tower="id", embedding_dim=D, max_seq_len=L,
+                 num_attention_heads=2, transformer_block=2)
+    with pytest.raises(ValueError, match="param_groups sizes"):
+        convert_reference_checkpoint(payload2, cfg, epoch=1)

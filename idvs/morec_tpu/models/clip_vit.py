@@ -69,10 +69,12 @@ class CLIPLayer(nn.Module):
         out = nn.Dense(H, name="out_proj")(out)
         x = x + out
         from .layers import pre_ln_mlp
-        h = pre_ln_mlp(x, c.intermediate_size, ln_name="layer_norm2",
-                       fc1_name="fc1", fc2_name="fc2",
-                       eps=c.layer_norm_eps, act="quick_gelu")
-        return x + h
+        # nothing sits between the MLP and the residual add in CLIP —
+        # the add rides the kernel as an epilogue (layers.py residual=True)
+        return pre_ln_mlp(x, c.intermediate_size, ln_name="layer_norm2",
+                          fc1_name="fc1", fc2_name="fc2",
+                          eps=c.layer_norm_eps, act="quick_gelu",
+                          residual=True)
 
 
 class CLIPVisionModel(nn.Module):

@@ -53,25 +53,40 @@ def fused_tail_gates(override=None):
 
 
 def pre_ln_mlp(x, features, *, ln_name, fc1_name, fc2_name, eps,
-               act="gelu", save_h=True):
+               act="gelu", save_h=True, residual=False):
     """Pre-LN ViT-style MLP sub-block: LN -> dense(features) -> act ->
     dense(C). Creates params with the SAME tree as nn.LayerNorm(<ln_name>)
     + nn.Dense(<fc1>/<fc2>) (converters/freeze masks unchanged), runs the
     fused Pallas kernel on TPU (ops/pallas/mlp.py; IDVS_NO_FMLP restores
     XLA), the functional composition elsewhere. Must be called from inside
-    a compact __call__ (submodules bind to the caller's scope). The
-    residual add / dropout / LayerScale stay with the caller."""
+    a compact __call__ (submodules bind to the caller's scope).
+
+    residual=True returns x + mlp(LN(x)) with the residual add fused as an
+    in-kernel epilogue (fused_mlp_res — measured +10% on the Swin fwd-only
+    catalog encode, PARITY r5). ONLY for callers with nothing between the
+    MLP and the add (no dropout / LayerScale): CLIP always; ViT-MAE / OPT
+    when their dropout is inactive. Otherwise the residual add / dropout /
+    LayerScale stay with the caller (residual=False)."""
     C = x.shape[-1]
     gm, bt = LNParams(C, name=ln_name)()
     k1, b1 = ProjParams(C, features, name=fc1_name)()
     k2, b2 = ProjParams(features, C, name=fc2_name)()
+    import os as _os
     if fused_tail_gates()[0]:
+        if residual and not _os.environ.get("IDVS_NO_PRELN_RES"):
+            from ..ops.pallas.mlp import fused_mlp_res
+            out = fused_mlp_res(x, jnp.ones(x.shape[:-1], jnp.float32),
+                                k1.astype(x.dtype), b1.astype(x.dtype),
+                                k2.astype(x.dtype), b2.astype(x.dtype),
+                                ln=(gm, bt), eps=eps, act=act)
+            if out is not None:
+                return out
         from ..ops.pallas.mlp import fused_mlp
         h = fused_mlp(x, k1.astype(x.dtype), b1.astype(x.dtype),
                       k2.astype(x.dtype), b2.astype(x.dtype),
                       ln=(gm, bt), eps=eps, act=act, save_h=save_h)
         if h is not None:
-            return h
+            return x + h if residual else h
     h = layer_norm(x, gm, bt, eps)
     h = jnp.dot(h, k1.astype(h.dtype)) + b1.astype(h.dtype)
     if act == "relu":
@@ -80,7 +95,8 @@ def pre_ln_mlp(x, features, *, ln_name, fc1_name, fc2_name, eps,
         h = h * jax.nn.sigmoid(1.702 * h)
     else:
         h = nn.gelu(h, approximate=False)
-    return jnp.dot(h, k2.astype(h.dtype)) + b2.astype(h.dtype)
+    h = jnp.dot(h, k2.astype(h.dtype)) + b2.astype(h.dtype)
+    return x + h if residual else h
 
 
 class LNParams(nn.Module):

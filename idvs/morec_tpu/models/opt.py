@@ -86,7 +86,20 @@ class OPTLayer(nn.Module):
         k1, b1 = ProjParams(c.hidden_size, c.ffn_dim, name="fc1")()
         k2, b2 = ProjParams(c.ffn_dim, c.hidden_size, name="fc2")()
         h = None
+        drop_inactive = deterministic or c.dropout == 0.0
         if fused_tail_gates()[0]:
+            if drop_inactive:
+                # nothing between the FFN and the residual add: the add
+                # rides the kernel as an epilogue (fused_mlp_res — measured
+                # +10% on the Swin fwd-only catalog encode, PARITY r5)
+                from ..ops.pallas.mlp import fused_mlp_res
+                out = fused_mlp_res(
+                    hidden, jnp.ones(hidden.shape[:-1], jnp.float32),
+                    k1.astype(hidden.dtype), b1.astype(hidden.dtype),
+                    k2.astype(hidden.dtype), b2.astype(hidden.dtype),
+                    ln=(gm, bt), eps=1e-5, act="relu")
+                if out is not None:
+                    return out
             from ..ops.pallas.mlp import fused_mlp
             h = fused_mlp(hidden, k1.astype(hidden.dtype),
                           b1.astype(hidden.dtype),

@@ -366,3 +366,60 @@ def test_swin_block_res_epilogue_matches_fallback(monkeypatch):
     out_plain = model.apply(params, imgs, True)
     np.testing.assert_allclose(np.asarray(out_epi), np.asarray(out_plain),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pre_ln_mlp_residual_fold_matches_fallback(monkeypatch):
+    """CLIP / ViT-MAE / OPT pre-LN residual fold (layers.py residual=True,
+    riding fused_mlp_res): force-fused interpret output == the XLA
+    fallback composition at dropout 0."""
+    import idvs.morec_tpu.models.layers as layers
+
+    rng = np.random.default_rng(21)
+
+    def run_pair(make):
+        m, p, f = make()
+        base = np.asarray(f(m, p))
+        monkeypatch.setattr(layers, "fused_tail_gates",
+                            lambda override=None: (True, True))
+        try:
+            fused = np.asarray(f(m, p))
+        finally:
+            monkeypatch.undo()
+        np.testing.assert_allclose(fused, base, rtol=2e-5, atol=2e-5)
+
+    def clip():
+        from idvs.morec_tpu.models.clip_vit import (CLIPVisionConfig,
+                                                    CLIPVisionModel)
+        cfg = CLIPVisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                               num_hidden_layers=2, num_attention_heads=2,
+                               intermediate_size=64)
+        m = CLIPVisionModel(cfg)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        p = m.init({"params": jax.random.PRNGKey(0)}, x)
+        return m, p, lambda m, p: m.apply(p, x, True)
+
+    def mae():
+        from idvs.morec_tpu.models.vit_mae import ViTMAEConfig, ViTMAEModel
+        cfg = ViTMAEConfig(image_size=32, patch_size=8, hidden_size=32,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=64)
+        m = ViTMAEModel(cfg)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        p = m.init({"params": jax.random.PRNGKey(0),
+                    "masking": jax.random.PRNGKey(1)}, x)
+        return m, p, lambda m, p: m.apply(
+            p, x, True, rngs={"masking": jax.random.PRNGKey(1)})
+
+    def opt():
+        from idvs.morec_tpu.models.opt import OPTConfig, OPTModel
+        cfg = OPTConfig(vocab_size=50, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=2, ffn_dim=64,
+                        max_position_embeddings=40, dropout=0.0)
+        m = OPTModel(cfg)
+        ids = jnp.asarray(rng.integers(2, 50, size=(2, 7)), jnp.int32)
+        am = jnp.ones((2, 7), jnp.int32)
+        p = m.init(jax.random.PRNGKey(0), ids, am)
+        return m, p, lambda m, p: m.apply(p, ids, am, True)
+
+    for make in (clip, mae, opt):
+        run_pair(make)

@@ -69,12 +69,15 @@ class CLIPLayer(nn.Module):
         out = nn.Dense(H, name="out_proj")(out)
         x = x + out
         from .layers import pre_ln_mlp
-        # nothing sits between the MLP and the residual add in CLIP —
-        # the add rides the kernel as an epilogue (layers.py residual=True)
-        return pre_ln_mlp(x, c.intermediate_size, ln_name="layer_norm2",
-                          fc1_name="fc1", fc2_name="fc2",
-                          eps=c.layer_norm_eps, act="quick_gelu",
-                          residual=True)
+        # nothing sits between the MLP and the residual add in CLIP; the
+        # add rides the kernel as an epilogue on the measured
+        # (deterministic) path, training keeps fused_mlp + XLA add
+        # (layers.py residual docstring)
+        h = pre_ln_mlp(x, c.intermediate_size, ln_name="layer_norm2",
+                       fc1_name="fc1", fc2_name="fc2",
+                       eps=c.layer_norm_eps, act="quick_gelu",
+                       residual=deterministic)
+        return h if deterministic else x + h
 
 
 class CLIPVisionModel(nn.Module):

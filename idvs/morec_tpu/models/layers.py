@@ -62,11 +62,15 @@ def pre_ln_mlp(x, features, *, ln_name, fc1_name, fc2_name, eps,
     a compact __call__ (submodules bind to the caller's scope).
 
     residual=True returns x + mlp(LN(x)) with the residual add fused as an
-    in-kernel epilogue (fused_mlp_res — measured +10% on the Swin fwd-only
-    catalog encode, PARITY r5). ONLY for callers with nothing between the
-    MLP and the add (no dropout / LayerScale): CLIP always; ViT-MAE / OPT
-    when their dropout is inactive. Otherwise the residual add / dropout /
-    LayerScale stay with the caller (residual=False)."""
+    in-kernel epilogue (fused_mlp_res — measured +10% Swin / +6-8% ViT-MAE
+    on fwd-only catalog encodes, PARITY r5). ONLY for callers with nothing
+    between the MLP and the add (no dropout / LayerScale), and — per the
+    measure-before-keep discipline — callers pass it on their
+    DETERMINISTIC (eval/catalog-encode) path only, where the win is
+    measured; the training path keeps fused_mlp(save_h=True) + XLA add
+    (the fold forces the bwd into recompute geometry, unmeasured for
+    these towers). Otherwise residual=False and the add / dropout /
+    LayerScale stay with the caller."""
     C = x.shape[-1]
     gm, bt = LNParams(C, name=ln_name)()
     k1, b1 = ProjParams(C, features, name=fc1_name)()
@@ -75,10 +79,10 @@ def pre_ln_mlp(x, features, *, ln_name, fc1_name, fc2_name, eps,
     if fused_tail_gates()[0]:
         if residual and not _os.environ.get("IDVS_NO_PRELN_RES"):
             from ..ops.pallas.mlp import fused_mlp_res
-            out = fused_mlp_res(x, jnp.ones(x.shape[:-1], jnp.float32),
-                                k1.astype(x.dtype), b1.astype(x.dtype),
-                                k2.astype(x.dtype), b2.astype(x.dtype),
-                                ln=(gm, bt), eps=eps, act=act)
+            out = fused_mlp_res(x, None, k1.astype(x.dtype),
+                                b1.astype(x.dtype), k2.astype(x.dtype),
+                                b2.astype(x.dtype), ln=(gm, bt), eps=eps,
+                                act=act)
             if out is not None:
                 return out
         from ..ops.pallas.mlp import fused_mlp

@@ -78,39 +78,20 @@ class OPTLayer(nn.Module):
         h = nn.Dropout(c.dropout, deterministic=deterministic)(h)
         hidden = residual + h
         residual = hidden
-        # pre-LN ReLU FFN; fused Pallas edition on TPU (ops/pallas/mlp.py,
-        # LN absorbed, ffn_dim-wide intermediate VMEM-resident). Param tree
-        # unchanged via LNParams/ProjParams; dropout stays outside.
-        from .layers import LNParams, ProjParams, fused_tail_gates, layer_norm
-        gm, bt = LNParams(c.hidden_size, name="final_layer_norm")()
-        k1, b1 = ProjParams(c.hidden_size, c.ffn_dim, name="fc1")()
-        k2, b2 = ProjParams(c.ffn_dim, c.hidden_size, name="fc2")()
-        h = None
-        drop_inactive = deterministic or c.dropout == 0.0
-        if fused_tail_gates()[0]:
-            if drop_inactive:
-                # nothing between the FFN and the residual add: the add
-                # rides the kernel as an epilogue (fused_mlp_res — measured
-                # +10% on the Swin fwd-only catalog encode, PARITY r5)
-                from ..ops.pallas.mlp import fused_mlp_res
-                out = fused_mlp_res(
-                    hidden, jnp.ones(hidden.shape[:-1], jnp.float32),
-                    k1.astype(hidden.dtype), b1.astype(hidden.dtype),
-                    k2.astype(hidden.dtype), b2.astype(hidden.dtype),
-                    ln=(gm, bt), eps=1e-5, act="relu")
-                if out is not None:
-                    return out
-            from ..ops.pallas.mlp import fused_mlp
-            h = fused_mlp(hidden, k1.astype(hidden.dtype),
-                          b1.astype(hidden.dtype),
-                          k2.astype(hidden.dtype),
-                          b2.astype(hidden.dtype),
-                          ln=(gm, bt), eps=1e-5, act="relu", save_h=True)
-        if h is None:
-            h = layer_norm(hidden, gm, bt, 1e-5)
-            h = jnp.maximum(jnp.dot(h, k1.astype(h.dtype))
-                            + b1.astype(h.dtype), 0)
-            h = jnp.dot(h, k2.astype(h.dtype)) + b2.astype(h.dtype)
+        # pre-LN ReLU FFN via the shared pre_ln_mlp helper (fused Pallas
+        # edition on TPU, LN absorbed; same param tree via
+        # LNParams/ProjParams). On the deterministic path the residual add
+        # rides the kernel epilogue (layers.py residual docstring — honors
+        # IDVS_NO_PRELN_RES like the other pre-LN towers).
+        from .layers import pre_ln_mlp
+        if deterministic:
+            return pre_ln_mlp(hidden, c.ffn_dim,
+                              ln_name="final_layer_norm", fc1_name="fc1",
+                              fc2_name="fc2", eps=1e-5, act="relu",
+                              residual=True)
+        h = pre_ln_mlp(hidden, c.ffn_dim, ln_name="final_layer_norm",
+                       fc1_name="fc1", fc2_name="fc2", eps=1e-5,
+                       act="relu")
         h = nn.Dropout(c.dropout, deterministic=deterministic)(h)
         return residual + h
 

@@ -90,8 +90,10 @@ class ViTLayer(nn.Module):
         out = nn.Dropout(c.hidden_dropout_prob, deterministic=deterministic)(out)
         x = x + out
         from .layers import pre_ln_mlp
-        if deterministic or c.hidden_dropout_prob == 0.0:
-            # dropout inactive: the residual add rides the kernel epilogue
+        if deterministic:
+            # eval/catalog-encode: the residual add rides the kernel
+            # epilogue (measured +6-8%, PARITY r5); training keeps
+            # fused_mlp(save_h) + XLA add
             return pre_ln_mlp(x, c.intermediate_size,
                               ln_name="layernorm_after",
                               fc1_name="intermediate", fc2_name="output",

@@ -101,13 +101,15 @@ def _dot(a, b, ca, cb):
                                preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(*refs, eps, ln, save_h, act, res=False):
+def _fwd_kernel(*refs, eps, ln, save_h, act, res=False, unit=False):
     if save_h:
         *refs, h_ref = refs
     s_ref = None
-    if res:
+    if res and not unit:
         # residual epilogue: out = x + s * mlp(ln(x)) with s a per-row
-        # scale (the DropPath keep-mask/keep, Swin pre-LN tails)
+        # scale (the DropPath keep-mask/keep, Swin pre-LN tails); unit=True
+        # drops the scale operand entirely (out = x + mlp(ln(x)) — the
+        # CLIP/MAE/OPT pre-LN fold)
         x_ref, s_ref, *refs = refs
         refs = [x_ref] + refs
     if ln:
@@ -124,14 +126,14 @@ def _fwd_kernel(*refs, eps, ln, save_h, act, res=False):
     g = _act_f32(h, act).astype(x_ref.dtype)
     y = _dot(g, w2_ref[...], 1, 0) + b2_ref[...].astype(jnp.float32)
     if res:
-        y = x_ref[...].astype(jnp.float32) + s_ref[...] * y
+        y = x_ref[...].astype(jnp.float32) + (y if unit else s_ref[...] * y)
     out_ref[...] = y.astype(out_ref.dtype)
 
 
-def _bwd_kernel(*refs, eps, ln, save_h, act, res=False):
+def _bwd_kernel(*refs, eps, ln, save_h, act, res=False, unit=False):
     h_ref = None
     s_ref = None
-    if res:
+    if res and not unit:
         x_ref, s_ref, *rest = refs
         refs = (x_ref,) + tuple(rest)
     if save_h:
@@ -175,9 +177,9 @@ def _bwd_kernel(*refs, eps, ln, save_h, act, res=False):
 
     # --- backward ---
     dy = dout_ref[...]
-    if res:
+    if res and not unit:
         # out = x + s*y: the MLP chain sees s*dout; the residual branch
-        # adds the raw dout to dx at the end
+        # adds the raw dout to dx at the end (unit: dy IS dout)
         dy = (dout_ref[...].astype(jnp.float32)
               * s_ref[...]).astype(dout_ref.dtype)
     dw2_ref[...] += _dot(g, dy, 0, 0)
@@ -236,9 +238,10 @@ def _pick_block_mlp(C: int, F: int, itemsize: int, ln: bool, save_h: bool):
 
 @functools.lru_cache(maxsize=None)
 def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
-           save_h: bool, act: str, res: bool = False):
+           save_h: bool, act: str, res: bool = False, unit: bool = False):
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
     assert not (res and save_h), "res edition keeps the recompute geometry"
+    has_scale = res and not unit
 
     def const_spec(shape):
         nd = len(shape)
@@ -257,7 +260,8 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
         M, C = x.shape
         blk = pl.BlockSpec((BMf, C), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-        head, consts = ([blk, _sblk(BMf)], args[1:]) if res else ([blk], args)
+        head, consts = (([blk, _sblk(BMf)], args[1:]) if has_scale
+                        else ([blk], args))
         out_specs = blk
         out_shape = jax.ShapeDtypeStruct((M, C), x.dtype)
         if save_h:
@@ -268,7 +272,7 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
                          jax.ShapeDtypeStruct((M, _F(consts)), x.dtype)]
         return pl.pallas_call(
             functools.partial(_fwd_kernel, eps=eps, ln=ln, save_h=save_h,
-                              act=act, res=res),
+                              act=act, res=res, unit=unit),
             grid=(M // BMf,),
             in_specs=head + [const_spec(a.shape) for a in consts],
             out_specs=out_specs,
@@ -282,7 +286,7 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
         M, C = x.shape
         blk = pl.BlockSpec((BMb, C), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-        head, consts = (([blk, _sblk(BMb)], args[1:]) if res
+        head, consts = (([blk, _sblk(BMb)], args[1:]) if has_scale
                         else ([blk], args))
         F = _F(consts)
         blkF = pl.BlockSpec((BMb, F), lambda i: (i, 0),
@@ -303,7 +307,7 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
                     + ([blkF] if save_h else []) + [blk])
         return pl.pallas_call(
             functools.partial(_bwd_kernel, eps=eps, ln=ln, save_h=save_h,
-                              act=act, res=res),
+                              act=act, res=res, unit=unit),
             grid=(M // BMb,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -343,7 +347,7 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
     def mlp_bwd(resids, dout):
         # resids = (x, [s,] [gamma, beta,] w1, b1, w2[, h])
         outs = bwd_call(*resids, dout)
-        off = 1 if res else 0
+        off = 1 if has_scale else 0
         if ln:
             dx, dgm, dbt, dw1, db1, dw2, db2 = outs
             gm, bt, w1, b1, w2 = resids[1 + off:6 + off]
@@ -355,7 +359,7 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
             w1, b1, w2 = resids[1 + off:4 + off]
             grads = (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
                      dw2.astype(w2.dtype), db2.astype(w2.dtype))
-        if res:
+        if has_scale:
             # s is a DropPath keep-mask — a constant of the step, no grad
             grads = (grads[0], jnp.zeros_like(resids[1])) + grads[1:]
         return grads
@@ -970,7 +974,9 @@ def fused_mlp_res(x: jnp.ndarray, scale: jnp.ndarray, w1: jnp.ndarray,
     disappears; HBM sees x (and the tiny per-row scale) in and the summed
     output out. scale is a per-ROW factor broadcast over C: the DropPath
     keep-mask divided by the keep probability (all-ones when inactive);
-    it is treated as a constant of the step (zero cotangent).
+    it is treated as a constant of the step (zero cotangent);
+    scale=None drops the scale operand entirely (pure x + mlp(LN(x)) — the
+    CLIP/MAE/OPT pre-LN fold).
 
     Returns None when no row blocking fits (caller falls back to the XLA
     composition).
@@ -986,17 +992,23 @@ def fused_mlp_res(x: jnp.ndarray, scale: jnp.ndarray, w1: jnp.ndarray,
     shape = x.shape
     x2 = x.reshape(-1, C)
     M = x2.shape[0]
-    s2 = jnp.broadcast_to(scale.astype(jnp.float32).reshape(-1, 1),
-                          (M, 1))
+    unit = scale is None
     pad = (-M) % max(BMf, BMb)
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-        s2 = jnp.pad(s2, ((0, pad), (0, 0)))
+    consts = (ln[0].reshape(1, -1), ln[1].reshape(1, -1),
+              w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
     assert act in ("gelu", "relu", "quick_gelu"), act
-    out = _build(float(eps), True, bool(interpret), BMf, BMb, False, act,
-                 res=True)(
-        x2, s2, ln[0].reshape(1, -1), ln[1].reshape(1, -1),
-        w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
+    builder = _build(float(eps), True, bool(interpret), BMf, BMb, False,
+                     act, res=True, unit=unit)
+    if unit:
+        out = builder(x2, *consts)
+    else:
+        s2 = jnp.broadcast_to(scale.astype(jnp.float32).reshape(-1, 1),
+                              (M, 1))
+        if pad:
+            s2 = jnp.pad(s2, ((0, pad), (0, 0)))
+        out = builder(x2, s2, *consts)
     if pad:
         out = out[:M]
     return out.reshape(shape)

@@ -62,8 +62,8 @@ def pre_ln_mlp(x, features, *, ln_name, fc1_name, fc2_name, eps,
     a compact __call__ (submodules bind to the caller's scope).
 
     residual=True returns x + mlp(LN(x)) with the residual add fused as an
-    in-kernel epilogue (fused_mlp_res — measured +10% Swin / +6-8% ViT-MAE
-    on fwd-only catalog encodes, PARITY r5). ONLY for callers with nothing
+    in-kernel epilogue (fused_mlp_res unit edition — measured +10% on the
+    Swin and ViT-MAE fwd-only catalog encodes, PARITY r5). ONLY for callers with nothing
     between the MLP and the add (no dropout / LayerScale), and — per the
     measure-before-keep discipline — callers pass it on their
     DETERMINISTIC (eval/catalog-encode) path only, where the win is

@@ -319,7 +319,11 @@ class SwinBlock(nn.Module):
             # consume an rng draw the fallback DropPath would re-draw
             from ..ops.pallas.mlp import fused_mlp_res, fused_mlp_res_supported
             if fused_mlp_res_supported(C, F, x.dtype.itemsize):
-                out = fused_mlp_res(x, dp_scale(), k1.astype(x.dtype),
+                # DropPath inactive -> the scale-free unit edition (no
+                # (M,1) operand, no per-row multiply)
+                sc = (None if deterministic or self.drop_path == 0.0
+                      else dp_scale())
+                out = fused_mlp_res(x, sc, k1.astype(x.dtype),
                                     b1.astype(x.dtype), k2.astype(x.dtype),
                                     b2.astype(x.dtype), ln=(gm, bt),
                                     eps=c.layer_norm_eps, interpret=interp)

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -256,7 +257,7 @@ def _build(eps: float, ln: bool, interpret: bool, BMf: int, BMb: int,
                             memory_space=pltpu.VMEM)
 
     def fwd_call(x, *args):
-        # res: args = (s, [gamma, beta,] w1, b1, w2, b2)
+        # res: args = (s, [gamma, beta,] w1, b1, w2, b2); res+unit drops s
         M, C = x.shape
         blk = pl.BlockSpec((BMf, C), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -962,7 +963,8 @@ def fused_mlp_res_supported(C: int, F: int, itemsize: int) -> bool:
     return _pick_block_mlp(C, F, itemsize, True, False) is not None
 
 
-def fused_mlp_res(x: jnp.ndarray, scale: jnp.ndarray, w1: jnp.ndarray,
+def fused_mlp_res(x: jnp.ndarray, scale: Optional[jnp.ndarray],
+                  w1: jnp.ndarray,
                   b1: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray, *,
                   ln: tuple, eps: float = 1e-5, act: str = "gelu",
                   interpret: bool = None) -> jnp.ndarray:

@@ -423,3 +423,36 @@ def test_pre_ln_mlp_residual_fold_matches_fallback(monkeypatch):
 
     for make in (clip, mae, opt):
         run_pair(make)
+
+
+def test_fused_mlp_res_unit_edition_grads():
+    """scale=None (unit) edition: forward AND all cotangents vs the XLA
+    composition, including a padded-M geometry — pins the unit branches of
+    _bwd_kernel / mlp_bwd (no scale operand, dx += dout)."""
+    from idvs.morec_tpu.ops.pallas.mlp import fused_mlp_res
+
+    rng = np.random.default_rng(31)
+    M, C, F = 40, 96, 192            # M=40 pads to the row block
+    x = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    w1, b1, w2, b2 = _params(rng, C, F)
+    gm = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1 + 1.0)
+    bt = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+
+    def ref(x, gm, bt, w1, b1, w2, b2):
+        return x + _ref(x, w1, b1, w2, b2, ln=(gm, bt))
+
+    def fused(x, gm, bt, w1, b1, w2, b2):
+        return fused_mlp_res(x, None, w1, b1, w2, b2, ln=(gm, bt), eps=EPS,
+                             interpret=True)
+
+    args = (x, gm, bt, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(fused(*args)),
+                               np.asarray(ref(*args)), rtol=2e-5, atol=2e-5)
+    ct = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    g_ref = jax.grad(lambda *z: jnp.sum(ref(*z) * ct),
+                     argnums=tuple(range(7)))(*args)
+    g_fused = jax.grad(lambda *z: jnp.sum(fused(*z) * ct),
+                       argnums=tuple(range(7)))(*args)
+    for i, (a, b) in enumerate(zip(g_ref, g_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5, err_msg=f"arg {i}")
